@@ -1,0 +1,18 @@
+from .scene import (
+    Cylinder,
+    OBS_TESTS_SCENE,
+    WP_TESTS,
+    simple_scene,
+    scene_truth,
+    trajectory_poses,
+    yaw_to_quat_wxyz,
+    load_waypoints_csv,
+)
+from .simulator import TofSpec, Frame, render_depth, simulate_trajectory, cylinder_surface_cloud
+
+__all__ = [
+    "Cylinder", "OBS_TESTS_SCENE", "WP_TESTS", "simple_scene", "scene_truth",
+    "trajectory_poses", "yaw_to_quat_wxyz", "load_waypoints_csv",
+    "TofSpec", "Frame", "render_depth", "simulate_trajectory",
+    "cylinder_surface_cloud",
+]

@@ -1,0 +1,82 @@
+import numpy as np
+
+from pointcloud_segmentation_tpu import geometry
+from pointcloud_segmentation_tpu.io.scene import (
+    OBS_TESTS_SCENE, WP_TESTS, Cylinder, trajectory_poses, yaw_to_quat_wxyz)
+from pointcloud_segmentation_tpu.io.simulator import (
+    TofSpec, ray_directions, render_depth, simulate_trajectory)
+
+
+def test_obs_tests_scene_matches_reference_truth():
+    # 7 beams, radius 0.05, default cylinder height 2 (obs_tests.wbt:57-168)
+    assert len(OBS_TESTS_SCENE) == 7
+    for c in OBS_TESTS_SCENE:
+        assert c.radius == 0.05
+        assert c.height == 2.0
+        assert abs(np.linalg.norm(np.array(c.axis)) - 1.0) < 1e-9
+    # SEG2's rotation is ~pi about (0.129, -0.966, -0.224): z-axis maps near
+    # the plane... sanity: all beams intersect the arena volume
+    for c in OBS_TESTS_SCENE:
+        p1, p2 = c.endpoints()
+        assert min(p1[2], p2[2]) < 3.5
+
+
+def test_ray_directions_shape_and_fov():
+    spec = TofSpec()
+    d = ray_directions(spec)
+    assert d.shape == (64 * 64, 3)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-12)
+    # all rays point forward
+    assert (d[:, 0] > 0).all()
+    # edge rays reach about fov/2 horizontally
+    ang = np.arctan2(np.abs(d[:, 1]), d[:, 0]).max()
+    assert 0.8 < ang <= 1.02 + 0.05
+
+
+def test_render_depth_hits_beam():
+    # beam 1 m in front of the camera, vertical
+    beam = Cylinder(center=(1.0, 0.0, 0.0), axis=(0.0, 0.0, 1.0), radius=0.05, height=2.0)
+    pts = render_depth(np.zeros(3), np.array([1.0, 0, 0, 0]), [beam],
+                       TofSpec(noise_frac=0.0), ground_plane=False)
+    valid = pts[np.isfinite(pts).all(axis=1)]
+    assert len(valid) > 20
+    # hit points lie on the cylinder surface (distance to axis == radius)
+    d = geometry.point_line_distance(np.array(beam.center), np.array(beam.axis), valid)
+    np.testing.assert_allclose(d, 0.05, atol=1e-6)
+    # all in front, within range
+    assert (valid[:, 0] >= 0.1).all()
+
+
+def test_render_depth_pose_transform():
+    # same beam, but drone displaced: world-frame reconstruction must match
+    beam = Cylinder(center=(1.0, 0.5, 1.0), axis=(0.0, 0.0, 1.0), radius=0.05, height=2.0)
+    pos = np.array([0.0, 0.5, 1.0])
+    yaw = 0.3
+    quat = yaw_to_quat_wxyz(yaw)
+    pts = render_depth(pos, quat, [beam], TofSpec(noise_frac=0.0), ground_plane=False)
+    valid = pts[np.isfinite(pts).all(axis=1)]
+    assert len(valid) > 10
+    R = np.array(geometry.quat_to_rot(*quat))
+    world = valid @ R.T + pos
+    d = geometry.point_line_distance(np.array(beam.center), np.array(beam.axis), world)
+    np.testing.assert_allclose(d, 0.05, atol=1e-5)
+
+
+def test_ground_plane():
+    pts = render_depth(np.array([0, 0, 1.0]), np.array([1.0, 0, 0, 0]), [],
+                       TofSpec(noise_frac=0.0), ground_plane=True)
+    valid = pts[np.isfinite(pts).all(axis=1)]
+    assert len(valid) > 50
+    # floor points in drone frame have z ~= -1.0
+    np.testing.assert_allclose(valid[:, 2].max(), -1.0, atol=0.05)
+
+
+def test_trajectory_poses_and_sim():
+    poses = trajectory_poses(WP_TESTS, hz=2.0, velocity=0.5)
+    assert len(poses) > 3
+    t = [p[0] for p in poses]
+    assert all(t2 > t1 for t1, t2 in zip(t, t[1:]))
+    frames = simulate_trajectory(OBS_TESTS_SCENE, poses[:3], TofSpec(), seed=0)
+    assert len(frames) == 3
+    assert frames[0].points.shape == (4096, 3)
+    assert frames[0].points.dtype == np.float32
