@@ -1,0 +1,338 @@
+"""Iterative 3D Hough line extraction, XLA-native.
+
+TPU-first redesign of the reference's iterative Hough transform
+(hough_3d_lines.h:167-349 plus the missing submodule's accumulator contract,
+SURVEY.md §2.3).  Key departures from the CPU design:
+
+* **No mutable accumulator.**  The reference allocates a (B, num_x, num_x)
+  vote array, adds all points, and incrementally subtracts extracted lines'
+  inliers (h:228, 241).  That invariant means the accumulator always equals
+  the votes of the *currently active* points, so we recompute the winning
+  cell each round from a masked point set — no scatter, no giant carried
+  state.
+* **Vote cells via broadcasted FMAs, mode via row-sort.**  Each (direction,
+  point) pair yields one cell id; the per-direction mode is found by sorting
+  each direction's row of cell keys and taking the longest run.  Sorting is
+  O(B*N log^2 N) VPU work with no data-dependent shapes; the argmax
+  tie-break (lexicographically smallest (b, xi, yi)) matches the oracle.
+* **Fixed-capacity everything.**  The do/while over extracted lines
+  (h:237-342) becomes a ``lax.while_loop`` with masks; early exits become
+  carried stop/fail flags with identical semantics (including the reference's
+  b.x == 0 frame-abort path and the "nlines counts gate failures" quirk,
+  h:259).
+
+Bit-level conventions shared with the numpy oracle (both sides compute the
+voting bins in float32 with fixed association order): see
+oracle/pipeline.py HoughSpace.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+from ..sphere import hough_space
+from .eigh3 import principal_eigenvector3, eigvalsh3
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+class SegmentBatch(NamedTuple):
+    """Fixed-capacity per-frame extracted segments (the `segment` struct,
+    hough_3d_lines.h:21-29, as a structure-of-arrays)."""
+
+    a: jnp.ndarray            # (L, 3)
+    b: jnp.ndarray            # (L, 3)
+    t_min: jnp.ndarray        # (L,)
+    t_max: jnp.ndarray        # (L,)
+    radius: jnp.ndarray       # (L,)
+    points_size: jnp.ndarray  # (L,) int32
+    pca_coeff: jnp.ndarray    # (L,)
+    pca_eigenvalues: jnp.ndarray  # (L, 3)
+    point_mask: jnp.ndarray   # (L, N) bool — inliers in the frame's cloud
+    valid: jnp.ndarray        # (L,) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.a.shape[0]
+
+
+class HoughResult(NamedTuple):
+    segments: SegmentBatch
+    nlines: jnp.ndarray       # int32 — nblines_extracted (0 on frame abort)
+    status: jnp.ndarray       # int32 — 0 ok, 1 = reference's abort paths
+
+
+def empty_segments(L: int, N: int, dtype=jnp.float32) -> SegmentBatch:
+    z3 = jnp.zeros((L, 3), dtype)
+    z1 = jnp.zeros((L,), dtype)
+    return SegmentBatch(
+        a=z3, b=z3, t_min=z1, t_max=z1, radius=z1,
+        points_size=jnp.zeros((L,), jnp.int32), pca_coeff=z1,
+        pca_eigenvalues=jnp.zeros((L, 3), dtype),
+        point_mask=jnp.zeros((L, N), bool), valid=jnp.zeros((L,), bool))
+
+
+def _masked_minmax(points, valid):
+    big = jnp.float32(jnp.inf)
+    p_min = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
+    p_max = jnp.max(jnp.where(valid[:, None], points, -big), axis=0)
+    return p_min, p_max
+
+
+def _line_distance2(pts, a, b_unit):
+    d = pts - a
+    along = d @ b_unit
+    perp = d - along[:, None] * b_unit[None, :]
+    return (perp * perp).sum(-1)
+
+
+def _masked_lsq(pts, mask):
+    """Orthogonal LSQ over masked points (h:121-150): returns
+    (rc = largest scatter eigenvalue, anchor=centroid, unit direction)."""
+    m = mask.astype(pts.dtype)
+    cnt = jnp.maximum(m.sum(), 1.0)
+    mean = (pts * m[:, None]).sum(0) / cnt
+    c = jnp.where(mask[:, None], pts - mean, 0.0)
+    scatter = jnp.dot(c.T, c, precision=_HIGH)
+    rc, bvec = principal_eigenvector3(scatter)
+    return rc, mean, bvec
+
+
+def _masked_cov_eigs(pts, mask):
+    """Descending covariance eigenvalues over masked points (segPCA, h:94-110)."""
+    m = mask.astype(pts.dtype)
+    cnt = jnp.maximum(m.sum(), 1.0)
+    mean = (pts * m[:, None]).sum(0) / cnt
+    c = jnp.where(mask[:, None], pts - mean, 0.0)
+    denom = jnp.maximum(cnt - 1.0, 1.0)
+    cov = jnp.dot(c.T, c, precision=_HIGH) / denom
+    return eigvalsh3(cov)
+
+
+def _canonical_sign(b):
+    """Flip so the first nonzero component is positive (D-SIGN)."""
+    sx = jnp.where(b[0] > 0, 1.0, jnp.where(b[0] < 0, -1.0, 0.0))
+    sy = jnp.where(b[1] > 0, 1.0, jnp.where(b[1] < 0, -1.0, 0.0))
+    sz = jnp.where(b[2] > 0, 1.0, jnp.where(b[2] < 0, -1.0, 0.0))
+    s = jnp.where(sx != 0, sx, jnp.where(sy != 0, sy, jnp.where(sz != 0, sz, 1.0)))
+    return b * s
+
+
+def _vote_keys(Xs, valid, c1, c2, d, dx, num_x, num_x_static):
+    """(B, N) int32 cell keys = xi * num_x_static + yi; invalid -> sentinel.
+
+    Float32 binning with fixed association order, matching the oracle's spec.
+    """
+    x0, x1, x2 = Xs[:, 0][None, :], Xs[:, 1][None, :], Xs[:, 2][None, :]
+    xp = (c1[:, 0:1] * x0 + c1[:, 1:2] * x1) + c1[:, 2:3] * x2   # (B, N)
+    yp = (c2[:, 0:1] * x0 + c2[:, 1:2] * x1) + c2[:, 2:3] * x2
+    half = (d / 2.0).astype(jnp.float32)
+    xi = jnp.clip(jnp.floor((xp + half) / dx).astype(jnp.int32), 0, num_x - 1)
+    yi = jnp.clip(jnp.floor((yp + half) / dx).astype(jnp.int32), 0, num_x - 1)
+    return xi * num_x_static + yi
+
+
+def _mode_per_row(keys_sorted):
+    """(count, cell) of the most frequent key per row; first longest run wins
+    (== smallest cell among ties, rows being sorted ascending)."""
+    B, N = keys_sorted.shape
+    idx = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+    isnew = jnp.concatenate(
+        [jnp.ones((B, 1), bool), keys_sorted[:, 1:] != keys_sorted[:, :-1]], axis=1)
+    start = jax.lax.cummax(jnp.where(isnew, idx, 0), axis=1)
+    runlen = idx - start + 1
+    best_len = runlen.max(axis=1)
+    best_pos = runlen.argmax(axis=1)
+    best_cell = jnp.take_along_axis(keys_sorted, best_pos[:, None], axis=1)[:, 0]
+    return best_len, best_cell
+
+
+class _LoopState(NamedTuple):
+    it: jnp.ndarray
+    active: jnp.ndarray
+    nlines: jnp.ndarray
+    nout: jnp.ndarray
+    stop: jnp.ndarray
+    fail: jnp.ndarray
+    segs: SegmentBatch
+
+
+def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
+                  cfg: PipelineConfig) -> HoughResult:
+    """Run the full iterative Hough extraction on one pre-filtered cloud.
+
+    Args:
+      points: (N, 3) float32 cloud (drone frame, post voxel grid).
+      valid:  (N,) bool validity mask.
+      cfg: static config (granularity selects the direction table — D-GRAN).
+
+    Shapes are static; call under jit with cfg closed over or marked static.
+    """
+    N = points.shape[0]
+    L = cfg.max_lines
+    dirs_np, c1_np, c2_np = hough_space(cfg.granularity)
+    dirs = jnp.asarray(dirs_np, jnp.float32)
+    c1 = jnp.asarray(c1_np, jnp.float32)
+    c2 = jnp.asarray(c2_np, jnp.float32)
+    B = dirs.shape[0]
+    num_x_static = cfg.num_x_max
+    dx = jnp.float32(cfg.opt_dx)
+    dv = jnp.float32(cfg.diag_voxel)
+
+    pts = points.astype(jnp.float32)
+    count_in = valid.sum()
+    p_min, p_max = _masked_minmax(pts, valid)
+    diag = p_max - p_min
+    d = jnp.sqrt(jnp.maximum((diag * diag).sum(), 0.0))
+    d = jnp.where(count_in > 0, d, 0.0)
+    shift = jnp.where(count_in > 0, (p_min + p_max) / 2.0, jnp.zeros(3))
+    Xs = jnp.where(valid[:, None], pts - shift, 0.0)
+
+    precheck_fail = (count_in == 0) | (d == 0.0) | (dx >= d)
+    num_x = jnp.maximum(jnp.floor(d / dx + 0.5).astype(jnp.int32), 1)
+
+    base_keys = _vote_keys(Xs, valid, c1, c2, d, dx, num_x, num_x_static)
+    cells = num_x_static * num_x_static
+    n_iota = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+    sentinel = cells + n_iota
+
+    rs = jnp.asarray(cfg.radius_sizes, jnp.float32)
+    rs_max = jnp.float32(max(cfg.radius_sizes))
+    min_nb_scale = jnp.float32(
+        2.0 / (cfg.rad_2_leaf_ratio * (2 * cfg.diag_voxel) ** 2))
+
+    def cond(s: _LoopState):
+        c = (~s.stop) & (s.active.sum() > 1) & (s.it < cfg.shapes.max_iters)
+        if cfg.opt_nlines > 0:
+            c = c & (s.nlines < cfg.opt_nlines)
+        return c
+
+    def body(s: _LoopState) -> _LoopState:
+        # ---- voting: per-direction mode over active points ----
+        keys = jnp.where(s.active[None, :], base_keys, sentinel)
+        sk = jnp.sort(keys, axis=1)
+        best_len, best_cell = _mode_per_row(sk)
+        # global winner: max count, tie-break smallest (direction, cell)
+        M = best_len.max()
+        b_iota = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
+        flat = b_iota * cells + best_cell
+        winner = jnp.where(best_len == M, flat, jnp.iinfo(jnp.int32).max).min()
+        b_idx = winner // cells
+        cell = winner % cells
+        xi = (cell // num_x_static).astype(jnp.float32)
+        yi = (cell % num_x_static).astype(jnp.float32)
+        half = (d / 2.0).astype(jnp.float32)
+        xc = (xi + 0.5) * dx - half
+        yc = (yi + 0.5) * dx - half
+        a0 = xc * c1[b_idx] + yc * c2[b_idx]
+        b0 = dirs[b_idx]
+
+        # ---- refinement #1 (h:245-248) ----
+        m1 = s.active & (_line_distance2(Xs, a0, b0) <= dx * dx)
+        ok0 = m1.any()
+        rc1, a1, b1 = _masked_lsq(Xs, m1)
+        ok1 = ok0 & (rc1 > 0.0)
+
+        # ---- refinement #2 + vote gate (h:250-255) ----
+        m2 = s.active & (_line_distance2(Xs, a1, b1) <= dx * dx)
+        nv = m2.sum().astype(jnp.int32)
+        ok2 = ok1 & (nv >= cfg.opt_minvotes)
+        rc2, a2, b2 = _masked_lsq(Xs, m2)
+        ok3 = ok2 & (rc2 > 0.0)
+
+        bc = _canonical_sign(b2)                      # D-SIGN
+        a_w = a2 + shift
+        P2 = Xs + shift                               # inliers in input frame
+
+        # ---- per-point t / radius / gaps (h:261-307) ----
+        dvec = P2 - a_w
+        bb = jnp.maximum((bc * bc).sum(), 1e-30)
+        t_all = (dvec * bc).sum(-1) / bb
+        proj = a_w[None, :] + t_all[:, None] * bc[None, :]
+        prad = jnp.sqrt(jnp.maximum(((proj - P2) ** 2).sum(-1), 0.0))
+        bx_zero = bc[0] == 0.0                        # find_t failure (h:43-45)
+        t = (proj[:, 0] - a_w[0]) / jnp.where(bx_zero, 1.0, bc[0])
+
+        tv = jnp.where(m2, t, jnp.inf)
+        ts = jnp.sort(tv)
+        pn = jnp.sqrt(((a_w[None, :] + ts[:, None] * bc[None, :]) ** 2).sum(-1))
+        gaps = jnp.abs(pn[1:] - pn[:-1])
+        gap_valid = jnp.arange(N - 1) < (nv - 1)
+        max_gap = jnp.where(gap_valid, gaps, -jnp.inf).max()
+        max_gap = jnp.where(nv > 1, max_gap, 0.0)
+
+        ifirst = jnp.argmax(m2)
+        ilast = N - 1 - jnp.argmax(m2[::-1])
+        radius = jnp.maximum(prad[ifirst], prad[ilast])
+
+        t_min = ts[0]
+        t_max = ts[jnp.maximum(nv - 1, 0)]
+
+        # ---- acceptance gates (h:295-322) ----
+        diffs = jnp.abs(radius - rs)
+        k = jnp.argmin(diffs)                         # first strict min
+        closest = rs[k]
+        min_diff = diffs[k]
+        max_radius = jnp.maximum(diffs[0], rs_max)    # reference quirk h:298-307
+        gate_r = (min_diff < dv) & (max_radius <= closest) & (max_gap < 2.0 * dv)
+
+        eig = _masked_cov_eigs(P2, m2)
+        pca_coeff = eig[0] / jnp.maximum(eig.sum(), 1e-30)
+        seg_len = jnp.sqrt(jnp.maximum(((t_max - t_min) * bc) @ ((t_max - t_min) * bc), 0.0))
+        min_nb = (closest * seg_len * min_nb_scale).astype(jnp.int32)
+        accept = gate_r & (pca_coeff > cfg.min_pca_coeff) & (nv > min_nb)
+
+        failx = ok3 & bx_zero
+        proceed = ok3 & ~bx_zero
+        write = proceed & accept & (s.nout < L)
+
+        slot = s.nout
+        segs = s.segs
+
+        def upd(arr, val):
+            return jnp.where(write, arr.at[slot].set(val), arr)
+
+        segs = SegmentBatch(
+            a=upd(segs.a, a_w), b=upd(segs.b, bc),
+            t_min=upd(segs.t_min, t_min), t_max=upd(segs.t_max, t_max),
+            radius=upd(segs.radius, closest),
+            points_size=upd(segs.points_size, nv),
+            pca_coeff=upd(segs.pca_coeff, pca_coeff),
+            pca_eigenvalues=upd(segs.pca_eigenvalues, eig),
+            point_mask=upd(segs.point_mask, m2),
+            valid=upd(segs.valid, True),
+        )
+
+        return _LoopState(
+            it=s.it + 1,
+            active=jnp.where(proceed, s.active & ~m2, s.active),
+            nlines=s.nlines + ok3.astype(jnp.int32),   # counts gate failures (h:259)
+            nout=s.nout + write.astype(jnp.int32),
+            stop=s.stop | ~proceed,
+            fail=s.fail | failx,
+            segs=segs,
+        )
+
+    init = _LoopState(
+        it=jnp.int32(0), active=valid & ~precheck_fail,
+        nlines=jnp.int32(0), nout=jnp.int32(0),
+        stop=precheck_fail, fail=jnp.array(False),
+        segs=empty_segments(L, N))
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    # frame abort (b.x == 0): keep earlier segments, report 0 lines (h:276-279)
+    nlines = jnp.where(final.fail, 0, final.nlines)
+    status = (precheck_fail | final.fail).astype(jnp.int32)
+    return HoughResult(segments=final.segs, nlines=nlines, status=status)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_lines_jit(points, valid, cfg: PipelineConfig) -> HoughResult:
+    return extract_lines(points, valid, cfg)

@@ -1,0 +1,101 @@
+"""Static-shape pre-processing: NaN scrub + window crop + voxel downsample.
+
+XLA-native reimplementation of the reference's PCL PassThrough x3 +
+VoxelGrid stage (node.cpp:386-421) over a fixed-capacity padded point buffer.
+Dynamic point counts become validity masks; the voxel grid becomes a
+sort-by-voxel-key + segmented mean, which reproduces PCL's output exactly:
+one centroid per occupied voxel, ordered by ascending linear voxel index
+(lexicographic (z, y, x) bins — PCL's divb_mul = (1, dx, dx*dy) layout).
+
+Everything is shape-static, so one compiled program serves every frame.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig
+
+
+def window_mask(points: jnp.ndarray, window_size: float) -> jnp.ndarray:
+    """Finite & inside the crop box: x in [0, w/2], y,z in [-w/2, w/2]."""
+    half = window_size / 2.0
+    finite = jnp.isfinite(points).all(axis=-1)
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    inside = ((x >= 0.0) & (x <= half)
+              & (y >= -half) & (y <= half)
+              & (z >= -half) & (z <= half))
+    # NaN comparisons are False, but keep the explicit finite check for Inf
+    return finite & inside
+
+
+def _grid_constants(cfg: PipelineConfig) -> tuple[int, int, int]:
+    """Static voxel-grid index offsets/stride for the crop window.
+
+    PCL computes min_b from the dynamic cloud bounds; only the ORDER of the
+    linear indices matters downstream, and lexicographic (z, y, x) order is
+    offset-invariant, so a static window-derived offset gives identical
+    ordering with static shapes.
+    """
+    half = cfg.window_size / 2.0
+    leaf = cfg.leaf_size
+    lo = math.floor(-half / leaf) - 1     # min possible bin along y/z (and x>=0)
+    hi = math.floor(half / leaf) + 1
+    span = hi - lo + 1
+    return lo, hi, span
+
+
+def voxel_keys(points: jnp.ndarray, valid: jnp.ndarray,
+               cfg: PipelineConfig) -> jnp.ndarray:
+    """int32 sort key per point: linear voxel index, invalid -> +BIG."""
+    lo, _, span = _grid_constants(cfg)
+    leaf = jnp.float32(cfg.leaf_size)
+    ijk = jnp.floor(points / leaf).astype(jnp.int32)
+    ijk = jnp.clip(ijk - lo, 0, span - 1)
+    key = (ijk[..., 2] * span + ijk[..., 1]) * span + ijk[..., 0]
+    big = jnp.int32(span * span * span + 1)
+    return jnp.where(valid, key, big)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def preprocess(points: jnp.ndarray, cfg: PipelineConfig
+               ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Window crop + voxel-grid downsample.
+
+    Args:
+      points: (N_raw, 3) float32; NaN rows mark invalid returns.
+      cfg: static pipeline config.
+
+    Returns:
+      (out_points (N_out, 3) float32, out_valid (N_out,) bool, count int32)
+      with N_out = cfg.shapes.max_points, centroids ordered by ascending
+      voxel index (PCL order).  Overflow beyond capacity is dropped (the
+      64x64 ToF yields at most 4096 occupied voxels, within the default).
+    """
+    n_out = cfg.shapes.max_points
+    valid = window_mask(points, cfg.window_size)
+    keys = voxel_keys(points, valid, cfg)
+
+    order = jnp.argsort(keys)
+    keys_s = keys[order]
+    pts_s = jnp.where(valid[order][:, None], points[order], 0.0)
+    valid_s = valid[order]
+
+    # group boundaries over the sorted keys
+    first = jnp.concatenate([jnp.array([True]), keys_s[1:] != keys_s[:-1]])
+    first = first & valid_s
+    group = jnp.cumsum(first.astype(jnp.int32)) - 1          # -1 before 1st valid
+    group = jnp.where(valid_s, group, n_out)                  # invalid -> dropped
+
+    sums = jax.ops.segment_sum(pts_s, group, num_segments=n_out + 1)[:n_out]
+    cnts = jax.ops.segment_sum(valid_s.astype(jnp.float32), group,
+                               num_segments=n_out + 1)[:n_out]
+    count = jnp.minimum(first.sum().astype(jnp.int32), n_out)
+    out_valid = jnp.arange(n_out, dtype=jnp.int32) < count
+    centroids = sums / jnp.maximum(cnts, 1.0)[:, None]
+    centroids = jnp.where(out_valid[:, None], centroids, 0.0)
+    return centroids, out_valid, count

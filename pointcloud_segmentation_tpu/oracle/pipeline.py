@@ -196,17 +196,29 @@ class HoughSpace:
 
     def __init__(self, granularity: int, dx: float, d: float):
         self.directions, self.c1, self.c2 = hough_space(granularity)
+        self.c1_32 = self.c1.astype(np.float32)
+        self.c2_32 = self.c2.astype(np.float32)
         self.dx = dx
         self.d = d
         self.num_x = max(int(math.floor(d / dx + 0.5)), 1)
 
     def bin_indices(self, pts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        """(n, B) xi and yi bins for shifted points."""
-        xp = pts @ self.c1.T
-        yp = pts @ self.c2.T
-        half = self.d / 2.0
-        xi = np.clip(np.floor((xp + half) / self.dx).astype(np.int64), 0, self.num_x - 1)
-        yi = np.clip(np.floor((yp + half) / self.dx).astype(np.int64), 0, self.num_x - 1)
+        """(n, B) xi and yi bins for shifted points.
+
+        Binning arithmetic is float32 BY SPEC, with the fixed association
+        order (p0*c + p1*c) + p2*c, so the oracle and the XLA pipeline land
+        points in identical cells (TPU compute is f32; a matmul here would
+        leave the summation order/precision to the backend).
+        """
+        p32 = pts.astype(np.float32)
+        x0, x1, x2 = p32[:, 0:1], p32[:, 1:2], p32[:, 2:3]
+        c1, c2 = self.c1_32, self.c2_32
+        xp = (x0 * c1[None, :, 0] + x1 * c1[None, :, 1]) + x2 * c1[None, :, 2]
+        yp = (x0 * c2[None, :, 0] + x1 * c2[None, :, 1]) + x2 * c2[None, :, 2]
+        half = np.float32(self.d / 2.0)
+        dx32 = np.float32(self.dx)
+        xi = np.clip(np.floor((xp + half) / dx32).astype(np.int64), 0, self.num_x - 1)
+        yi = np.clip(np.floor((yp + half) / dx32).astype(np.int64), 0, self.num_x - 1)
         return xi, yi
 
     def get_line(self, pts: np.ndarray) -> Tuple[int, np.ndarray, np.ndarray]:
@@ -230,10 +242,12 @@ class HoughSpace:
                 best_count, best_key = cnt, idx + base[b0]
         b_idx, rem = divmod(best_key, cells)
         xi_c, yi_c = divmod(rem, self.num_x)
-        half = self.d / 2.0
-        xc = (xi_c + 0.5) * self.dx - half
-        yc = (yi_c + 0.5) * self.dx - half
-        a = xc * self.c1[b_idx] + yc * self.c2[b_idx]
+        # decode in float32 BY SPEC (shared with the XLA path)
+        half = np.float32(self.d / 2.0)
+        dx32 = np.float32(self.dx)
+        xc = (np.float32(xi_c) + np.float32(0.5)) * dx32 - half
+        yc = (np.float32(yi_c) + np.float32(0.5)) * dx32 - half
+        a = (xc * self.c1_32[b_idx] + yc * self.c2_32[b_idx]).astype(np.float64)
         return best_count, a, self.directions[b_idx].copy()
 
 
