@@ -1,0 +1,91 @@
+"""The jit-compiled per-frame pipeline: cloud in -> world map + outputs out.
+
+This single function is the TPU-native replacement for the reference node's
+worker-thread body (node.cpp:267-348 ``processData``): filter -> Hough ->
+drone-to-world transform -> floor cutoff -> world-map fusion + intersections.
+One compiled XLA program, fixed shapes, no host round-trips mid-frame.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import PipelineConfig
+from .geometry import quat_to_rot
+from .ops.preproc import preprocess
+from .ops.hough import extract_lines, HoughResult, SegmentBatch
+from .worldmap import WorldState, init_world, world_step
+
+
+class FrameOutput(NamedTuple):
+    """Per-frame results (the node's published topics + timing record inputs)."""
+
+    filtered: jnp.ndarray        # (N, 3)  — `filtered_pointcloud` analog
+    filtered_valid: jnp.ndarray  # (N,)
+    filtered_count: jnp.ndarray  # int32
+    segments: SegmentBatch       # frame segments, world frame, post-cutoff
+    nlines: jnp.ndarray          # int32 nblines_extracted
+    status: jnp.ndarray          # int32 (0 ok; 1 = hough abort, node.cpp:294)
+    world_count: jnp.ndarray     # int32 `seg_vec_size` column
+
+
+def rotation_from_quat(quat_wxyz: jnp.ndarray) -> jnp.ndarray:
+    qw, qx, qy, qz = quat_wxyz[0], quat_wxyz[1], quat_wxyz[2], quat_wxyz[3]
+    rows = quat_to_rot(qw, qx, qy, qz)
+    return jnp.stack([jnp.stack(r) for r in rows])
+
+
+def transform_segments(segs: SegmentBatch, position: jnp.ndarray,
+                       quat_wxyz: jnp.ndarray) -> SegmentBatch:
+    """drone2WorldSeg (node.cpp:429-446): a <- R a + p, b <- R b."""
+    R = rotation_from_quat(quat_wxyz).astype(segs.a.dtype)
+    p = position.astype(segs.a.dtype)
+    return segs._replace(a=segs.a @ R.T + p, b=segs.b @ R.T)
+
+
+def height_cutoff(segs: SegmentBatch, floor_trim_height: float) -> SegmentBatch:
+    """heighSegmentCutoff (node.cpp:454-470): keep iff either endpoint above."""
+    p1 = segs.t_min[:, None] * segs.b + segs.a
+    p2 = segs.t_max[:, None] * segs.b + segs.a
+    keep = (p1[:, 2] > floor_trim_height) | (p2[:, 2] > floor_trim_height)
+    return segs._replace(valid=segs.valid & keep)
+
+
+def process_frame(state: WorldState, raw_points: jnp.ndarray,
+                  position: jnp.ndarray, quat_wxyz: jnp.ndarray,
+                  cfg: PipelineConfig) -> tuple[WorldState, FrameOutput]:
+    """One full frame.  raw_points: (N_raw, 3) float32, NaN = invalid return."""
+    filtered, fvalid, fcount = preprocess(raw_points, cfg)
+    hough: HoughResult = extract_lines(filtered, fvalid, cfg)
+
+    segs = transform_segments(hough.segments, position, quat_wxyz)
+    segs = height_cutoff(segs, cfg.floor_trim_height)
+
+    state = world_step(state, segs, cfg)
+
+    out = FrameOutput(
+        filtered=filtered, filtered_valid=fvalid, filtered_count=fcount,
+        segments=segs, nlines=hough.nlines, status=hough.status,
+        world_count=state.count)
+    return state, out
+
+
+def make_process_frame(cfg: PipelineConfig):
+    """jit-compiled process_frame with the config closed over; donates the
+    world state so the map updates in place on device."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, raw_points, position, quat_wxyz):
+        return process_frame(state, raw_points, position, quat_wxyz, cfg)
+
+    return step
+
+
+__all__ = [
+    "FrameOutput", "WorldState", "init_world", "process_frame",
+    "make_process_frame", "transform_segments", "height_cutoff",
+]
