@@ -28,6 +28,7 @@ class FrameOutput(NamedTuple):
     filtered_valid: jnp.ndarray  # (N,)
     filtered_count: jnp.ndarray  # int32
     segments: SegmentBatch       # frame segments, world frame, post-cutoff
+    slots: jnp.ndarray           # (L,) int32 world slot per frame segment
     nlines: jnp.ndarray          # int32 nblines_extracted
     status: jnp.ndarray          # int32 (0 ok; 1 = hough abort, node.cpp:294)
     world_count: jnp.ndarray     # int32 `seg_vec_size` column
@@ -65,11 +66,11 @@ def process_frame(state: WorldState, raw_points: jnp.ndarray,
     segs = transform_segments(hough.segments, position, quat_wxyz)
     segs = height_cutoff(segs, cfg.floor_trim_height)
 
-    state = world_step(state, segs, cfg)
+    state, slots = world_step(state, segs, cfg)
 
     out = FrameOutput(
         filtered=filtered, filtered_valid=fvalid, filtered_count=fcount,
-        segments=segs, nlines=hough.nlines, status=hough.status,
+        segments=segs, slots=slots, nlines=hough.nlines, status=hough.status,
         world_count=state.count)
     return state, out
 

@@ -1,0 +1,271 @@
+"""Host runtime: the node shell around the jit-compiled pipeline.
+
+Plays the role of the reference's `PtCdProcessing` node (node.cpp:34-158)
+without ROS: pose stream in (the `/mavros/local_position/pose` ->
+TF mocap->world path, tfbr.cpp), ToF clouds in (`/tof_pc`), persistent world
+map on device, per-frame timing records, and the three CSV outputs on
+shutdown (node.cpp:78-80).
+
+Two ingestion modes:
+  * synchronous replay — `process_frame` / `run_replay`: every frame is
+    processed (deterministic; used by tests, benchmarks, evaluation);
+  * streaming — `start()` spawns a worker thread consuming a latest-wins
+    depth-1 mailbox, dropping stale frames under load exactly like the
+    reference's SharedData slot (node.cpp:167-173, 267-276).
+
+Backends: "jax" (the compiled TPU/XLA pipeline) or "oracle" (the faithful
+numpy reference — the CPU baseline).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import PipelineConfig
+from .posebuffer import PoseBuffer
+from .mailbox import LatestWinsMailbox
+from . import csvio
+
+
+class SegmentationEngine:
+    def __init__(self, cfg: PipelineConfig, backend: str = "jax",
+                 collect_inlier_points: bool = False):
+        self.cfg = cfg
+        self.backend = backend
+        self.poses = PoseBuffer()
+        self.mailbox = LatestWinsMailbox()
+        self.records: List[dict] = []
+        self.frames_processed = 0
+        self.frames_skipped_no_pose = 0
+        self.collect_inlier_points = collect_inlier_points
+        self._inlier_points: dict[int, list[np.ndarray]] = {}
+        self._program_start: Optional[float] = None
+        self._worker: Optional[threading.Thread] = None
+        self._running = False
+
+        if backend == "jax":
+            import jax.numpy as jnp  # deferred so the oracle path is jax-free
+            import jax
+            from ..pipeline import make_process_frame, init_world
+
+            self._jnp = jnp
+            self._jax = jax
+            self._step = make_process_frame(cfg)
+            self._state = init_world(cfg)
+        elif backend == "oracle":
+            from .. import oracle
+
+            self._oracle = oracle
+            self._wm = oracle.WorldMap(cfg)
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+
+    # ---------------------------------------------------------------- inputs
+
+    def push_pose(self, t: float, position, quat_wxyz) -> None:
+        """Pose stream input (the tfbr node's mocap->world broadcast)."""
+        self.poses.push(t, position, quat_wxyz)
+
+    def submit_cloud(self, t: float, points: np.ndarray) -> None:
+        """Streaming input: latest-wins; stale unprocessed frames are dropped."""
+        self.mailbox.put((t, points))
+
+    # ---------------------------------------------------------------- core
+
+    def _now(self) -> float:
+        return time.perf_counter()
+
+    def process_frame(self, t: float, points: np.ndarray) -> Optional[dict]:
+        """Synchronously process one cloud.  Returns the per-frame record or
+        None if the pose lookup failed (frame skipped, D-POSE)."""
+        if self._program_start is None:
+            self._program_start = self._now()
+        pose = self.poses.lookup(t)
+        if pose is None:
+            self.frames_skipped_no_pose += 1
+            return None
+        position, quat = pose
+
+        start = self._now()
+        if self.backend == "jax":
+            info = self._process_jax(points, position, quat)
+        else:
+            info = self._process_oracle(points, position, quat)
+        end = self._now()
+
+        record = {
+            "wall_time": (end - self._program_start) * 1e6,
+            "processing_time": (end - start) * 1e6,
+            "seg_vec_size": info["world_count"],
+            "nblines": info["nlines"],
+        }
+        self.records.append(record)
+        self.frames_processed += 1
+        record = dict(record, status=info["status"], t=t)
+        return record
+
+    def _pad_raw(self, points: np.ndarray) -> np.ndarray:
+        n_raw = self.cfg.shapes.max_raw_points
+        pts = np.asarray(points, dtype=np.float32).reshape(-1, 3)
+        out = np.full((n_raw, 3), np.nan, dtype=np.float32)
+        k = min(len(pts), n_raw)
+        out[:k] = pts[:k]
+        return out
+
+    def _process_jax(self, points, position, quat) -> dict:
+        jnp = self._jnp
+        raw = jnp.asarray(self._pad_raw(points))
+        self._state, out = self._step(
+            self._state, raw,
+            jnp.asarray(position, jnp.float32), jnp.asarray(quat, jnp.float32))
+        self._jax.block_until_ready(self._state)
+        info = {
+            "world_count": int(out.world_count),
+            "nlines": int(out.nlines),
+            "status": int(out.status),
+        }
+        if self.collect_inlier_points:
+            self._collect_points_jax(out, position, quat)
+        return info
+
+    def _collect_points_jax(self, out, position, quat) -> None:
+        from .. import geometry
+
+        filtered = np.asarray(out.filtered)
+        masks = np.asarray(out.segments.point_mask)
+        valid = np.asarray(out.segments.valid)
+        slots = np.asarray(out.slots)
+        R = np.array(geometry.quat_to_rot(*np.asarray(quat, np.float64)))
+        for i in np.nonzero(valid)[0]:
+            slot = int(slots[i])
+            if slot < 0:
+                continue
+            pts = filtered[masks[i]] @ R.T + np.asarray(position)
+            self._inlier_points.setdefault(slot, []).append(pts)
+
+    def _process_oracle(self, points, position, quat) -> dict:
+        res = self._oracle.process_frame(
+            self._wm, np.asarray(points, np.float64).reshape(-1, 3),
+            np.asarray(position), np.asarray(quat), self.cfg)
+        return {
+            "world_count": len(self._wm.segments),
+            "nlines": res.nblines,
+            "status": res.status,
+        }
+
+    def run_replay(self, frames) -> List[dict]:
+        """Process every frame of an io.simulator replay (poses auto-pushed)."""
+        out = []
+        for fr in frames:
+            self.push_pose(fr.t, fr.position, fr.quat_wxyz)
+            rec = self.process_frame(fr.t, fr.points)
+            if rec is not None:
+                out.append(rec)
+        return out
+
+    # ---------------------------------------------------------------- streaming
+
+    def start(self) -> None:
+        """Spawn the consumer thread (the reference's processingThread)."""
+        if self._worker is not None:
+            return
+        self._running = True
+        self._worker = threading.Thread(target=self._worker_loop, daemon=True)
+        self._worker.start()
+
+    def _worker_loop(self) -> None:
+        while self._running:
+            item = self.mailbox.take(timeout=0.1)
+            if item is None:
+                continue
+            t, points = item
+            self.process_frame(t, points)
+
+    def stop(self) -> None:
+        self._running = False
+        self.mailbox.close()
+        if self._worker is not None:
+            self._worker.join(timeout=10.0)
+            self._worker = None
+
+    # ---------------------------------------------------------------- outputs
+
+    def world_segments(self) -> List[dict]:
+        """Current world map as host dicts (segments.csv row source)."""
+        if self.backend == "oracle":
+            return [{"a": s.a, "b": s.b, "t_min": s.t_min, "t_max": s.t_max,
+                     "radius": s.radius, "points_size": s.points_size,
+                     "pca_coeff": s.pca_coeff}
+                    for s in self._wm.segments]
+        st = self._state
+        n = int(np.asarray(st.count))
+        a = np.asarray(st.a)[:n]
+        b = np.asarray(st.b)[:n]
+        return [{"a": a[i], "b": b[i],
+                 "t_min": float(np.asarray(st.t_min)[i]),
+                 "t_max": float(np.asarray(st.t_max)[i]),
+                 "radius": float(np.asarray(st.radius)[i]),
+                 "points_size": int(np.asarray(st.points_size)[i]),
+                 "pca_coeff": float(np.asarray(st.pca_coeff)[i])}
+                for i in range(n)]
+
+    def intersections_rows(self) -> List[tuple]:
+        """(seg1, t1, seg2, t2) rows, upper-triangular order (node.cpp:858)."""
+        if self.backend == "oracle":
+            return self._wm.intersections_rows()
+        st = self._state
+        n = int(np.asarray(st.count))
+        inter = np.asarray(st.inter)[:n, :n]
+        rows = []
+        for i in range(n):
+            for j in range(i):
+                t1, t2 = inter[i, j]
+                if t1 != -1.0 and t2 != -1.0:
+                    rows.append((i, float(t1), j, float(t2)))
+        return rows
+
+    def visualization(self) -> dict:
+        """Marker-style structured viz (the RViz MarkerArray analog):
+        cylinders per world segment, spheres per intersection, text labels
+        (node.cpp:676-842)."""
+        cylinders, texts, spheres = [], [], []
+        segs = self.world_segments()
+        for i, s in enumerate(segs):
+            p1 = np.asarray(s["a"]) + s["t_min"] * np.asarray(s["b"])
+            p2 = np.asarray(s["a"]) + s["t_max"] * np.asarray(s["b"])
+            mid = (p1 + p2) / 2
+            cylinders.append({"id": i, "p1": p1, "p2": p2, "center": mid,
+                              "radius": s["radius"],
+                              "height": float(np.linalg.norm(p2 - p1))})
+            texts.append({"id": i, "position": mid, "text": str(i)})
+        for (i, t1, j, t2) in self.intersections_rows():
+            s = segs[i]
+            p = np.asarray(s["a"]) + t1 * np.asarray(s["b"])
+            r = 1.5 * max(self.cfg.radius_sizes[0], self.cfg.radius_sizes[-1])
+            spheres.append({"position": p, "radius": r,
+                            "text": f"Intersection: {i} & {j}"})
+        out = {"cylinders": cylinders, "segment_texts": texts,
+               "intersections": spheres}
+        if self.collect_inlier_points and self._inlier_points:
+            out["hough_points"] = {
+                k: np.concatenate(v, axis=0)
+                for k, v in self._inlier_points.items()}
+        return out
+
+    def finalize(self, outdir: Optional[str] = None) -> dict:
+        """Write the three reference CSVs (the node-destructor flush)."""
+        outdir = csvio.ensure_outdir(outdir or self.cfg.path_to_output)
+        paths = {
+            "intersections": os.path.join(outdir, "intersections.csv"),
+            "segments": os.path.join(outdir, "segments.csv"),
+            "processing_time": os.path.join(outdir, "processing_time.csv"),
+        }
+        csvio.write_intersections_csv(paths["intersections"], self.intersections_rows())
+        csvio.write_segments_csv(paths["segments"], self.world_segments())
+        csvio.write_processing_time_csv(paths["processing_time"], self.records)
+        return paths

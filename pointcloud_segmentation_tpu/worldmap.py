@@ -150,10 +150,11 @@ def fuse_frame(state: WorldState, segs: SegmentBatch, cfg: PipelineConfig):
     old_valid = state.valid
 
     new = dict(old)
-    carry = (new, state.count, jnp.zeros(S, bool), jnp.zeros(S, bool))
+    carry = (new, state.count, jnp.zeros(S, bool), jnp.zeros(S, bool),
+             jnp.full((L,), -1, jnp.int32))
 
     def body(i, carry):
-        new, count, modified, new_flags = carry
+        new, count, modified, new_flags, slots = carry
         d = {
             "a": segs.a[i], "b": segs.b[i], "t_min": segs.t_min[i],
             "t_max": segs.t_max[i], "radius": segs.radius[i],
@@ -185,12 +186,14 @@ def fuse_frame(state: WorldState, segs: SegmentBatch, cfg: PipelineConfig):
             upd[key] = arr
         modified = modified.at[j].set(modified[j] | found)
         new_flags = new_flags.at[k].set(new_flags[k] | can_append)
+        slot = jnp.where(found, j, jnp.where(can_append, k, -1))
+        slots = slots.at[i].set(slot)
         count = count + can_append.astype(jnp.int32)
-        return (upd, count, modified, new_flags)
+        return (upd, count, modified, new_flags, slots)
 
-    new, count, modified, new_flags = jax.lax.fori_loop(0, L, body, carry)
+    new, count, modified, new_flags, slots = jax.lax.fori_loop(0, L, body, carry)
     valid = old_valid | new_flags
-    return new, count, valid, modified, new_flags
+    return new, count, valid, modified, new_flags, slots
 
 
 def update_intersections(state_fields: dict, valid, inter_old, touched,
@@ -239,9 +242,13 @@ def update_intersections(state_fields: dict, valid, inter_old, touched,
 
 
 def world_step(state: WorldState, segs: SegmentBatch,
-               cfg: PipelineConfig) -> WorldState:
-    """One segFiltering pass: fuse the frame's segments, refresh intersections."""
-    fields, count, valid, modified, new_flags = fuse_frame(state, segs, cfg)
+               cfg: PipelineConfig) -> tuple[WorldState, jnp.ndarray]:
+    """One segFiltering pass: fuse the frame's segments, refresh intersections.
+
+    Returns (state, slots) where slots (L,) gives each frame segment's world
+    slot (-1 = dropped), for host-side visualization bookkeeping.
+    """
+    fields, count, valid, modified, new_flags, slots = fuse_frame(state, segs, cfg)
     touched = modified | new_flags
     inter = update_intersections(fields, valid, state.inter, touched, cfg)
-    return WorldState(valid=valid, count=count, inter=inter, **fields)
+    return WorldState(valid=valid, count=count, inter=inter, **fields), slots

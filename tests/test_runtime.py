@@ -1,0 +1,185 @@
+"""Runtime engine: pose buffer, mailbox, CSV outputs, replay, streaming."""
+
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from pointcloud_segmentation_tpu.config import default_config, StaticShapes
+from pointcloud_segmentation_tpu.runtime import (
+    SegmentationEngine, PoseBuffer, LatestWinsMailbox, csvio, slerp)
+from pointcloud_segmentation_tpu.io.scene import OBS_TESTS_SCENE, WP_TESTS, trajectory_poses
+from pointcloud_segmentation_tpu.io.simulator import simulate_trajectory, TofSpec
+from pointcloud_segmentation_tpu.eval import (
+    match_report, load_processing_time_csv, summarize)
+from pointcloud_segmentation_tpu.io.scene import scene_truth
+
+CFG = default_config(
+    granularity=2,
+    shapes=StaticShapes(max_raw_points=4096, max_points=2048,
+                        max_world_segments=32),
+)
+
+
+# ---------------------------------------------------------------- pose buffer
+
+def test_pose_buffer_interpolation():
+    pb = PoseBuffer()
+    q0 = np.array([1.0, 0, 0, 0])
+    yaw = 1.0
+    q1 = np.array([np.cos(yaw / 2), 0, 0, np.sin(yaw / 2)])
+    pb.push(0.0, [0, 0, 0], q0)
+    pb.push(1.0, [2, 0, 0], q1)
+    pos, quat = pb.lookup(0.5)
+    np.testing.assert_allclose(pos, [1, 0, 0])
+    half = np.array([np.cos(yaw / 4), 0, 0, np.sin(yaw / 4)])
+    np.testing.assert_allclose(quat, half, atol=1e-9)
+
+
+def test_pose_buffer_timeout_and_edges():
+    pb = PoseBuffer(timeout=1.0)
+    assert pb.lookup(0.0) is None
+    pb.push(10.0, [1, 2, 3], [1, 0, 0, 0])
+    # within timeout of the range -> clamps to nearest
+    pos, _ = pb.lookup(9.5)
+    np.testing.assert_allclose(pos, [1, 2, 3])
+    # outside timeout -> failure
+    assert pb.lookup(8.0) is None
+    assert pb.lookup(12.0) is None
+
+
+def test_slerp_antipodal():
+    q0 = np.array([1.0, 0, 0, 0])
+    q1 = -np.array([np.cos(0.1), 0, 0, np.sin(0.1)])  # same rotation, flipped
+    out = slerp(q0, q1, 0.5)
+    assert abs(np.linalg.norm(out) - 1) < 1e-12
+
+
+# ---------------------------------------------------------------- mailbox
+
+def test_mailbox_latest_wins():
+    mb = LatestWinsMailbox()
+    mb.put(1)
+    mb.put(2)
+    mb.put(3)
+    assert mb.take(timeout=0.1) == 3
+    assert mb.dropped == 2
+    assert mb.take(timeout=0.05) is None
+
+
+def test_mailbox_threaded():
+    mb = LatestWinsMailbox()
+    got = []
+
+    def consumer():
+        while True:
+            v = mb.take(timeout=1.0)
+            if v is None:
+                return
+            got.append(v)
+            if v == "stop":
+                return
+
+    th = threading.Thread(target=consumer)
+    th.start()
+    time.sleep(0.05)
+    mb.put("stop")
+    th.join(timeout=2)
+    assert got == ["stop"]
+
+
+# ---------------------------------------------------------------- csv format
+
+def test_csv_double_format():
+    assert csvio.fmt_double(0.1234567) == "0.123457"
+    assert csvio.fmt_double(5123456.0) == "5.12346e+06"
+    assert csvio.fmt_double(-1.0) == "-1"
+    assert csvio.fmt_double(0.05) == "0.05"
+
+
+def test_csv_roundtrip(tmp_path):
+    segs = [{"a": np.array([0.1234567, 2, 3]), "b": np.array([0, 0, 1]),
+             "t_min": -1.0, "t_max": 1.0}]
+    p = str(tmp_path / "segments.csv")
+    csvio.write_segments_csv(p, segs)
+    with open(p) as f:
+        header = f.readline().strip()
+    assert header == "segment,a_x,a_y,a_z,b_x,b_y,b_z,t_min,t_max"
+    back = csvio.read_segments_csv(p)
+    assert len(back) == 1
+    assert back[0]["t_min"] == -1.0
+    np.testing.assert_allclose(back[0]["a"], [0.123457, 2, 3], atol=1e-6)
+
+
+# ---------------------------------------------------------------- engine replay
+
+@pytest.fixture(scope="module")
+def replay_frames():
+    poses = trajectory_poses(WP_TESTS, hz=1.0, velocity=0.4)[:8]
+    return simulate_trajectory(OBS_TESTS_SCENE, poses, TofSpec(noise_frac=0.002),
+                               seed=1)
+
+
+@pytest.mark.parametrize("backend", ["jax", "oracle"])
+def test_engine_replay_and_csv(tmp_path, replay_frames, backend):
+    eng = SegmentationEngine(CFG.replace(path_to_output=str(tmp_path)),
+                             backend=backend)
+    recs = eng.run_replay(replay_frames)
+    assert len(recs) == len(replay_frames)
+    assert eng.frames_processed == len(replay_frames)
+    segs = eng.world_segments()
+    assert len(segs) >= 3
+    # accuracy vs ground truth with the reference criteria
+    rep = match_report(scene_truth(OBS_TESTS_SCENE),
+                       [dict(s, endpoints=[s["t_min"], s["t_max"]]) for s in segs])
+    assert rep["n_truth_matched"] >= 3
+
+    paths = eng.finalize()
+    for k in ("segments", "intersections", "processing_time"):
+        assert os.path.exists(paths[k])
+    data = load_processing_time_csv(paths["processing_time"])
+    assert len(data["processing_time_s"]) == len(replay_frames)
+    s = summarize(data)
+    assert s["n_frames"] == len(replay_frames)
+    assert s["p50_ms"] > 0
+    # headers exact
+    with open(paths["intersections"]) as f:
+        assert f.readline().strip() == "seg1,t1,seg2,t2"
+    with open(paths["processing_time"]) as f:
+        assert f.readline().strip() == "wall_time,processing_time,seg_vec_size,nblines"
+
+
+def test_engine_streaming_latest_wins(replay_frames):
+    eng = SegmentationEngine(CFG, backend="jax")
+    for fr in replay_frames:
+        eng.push_pose(fr.t, fr.position, fr.quat_wxyz)
+    eng.start()
+    for fr in replay_frames:
+        eng.submit_cloud(fr.t, fr.points)  # faster than processing -> drops
+    time.sleep(1.5)
+    eng.stop()
+    assert eng.frames_processed >= 1
+    # drops + processed covers all frames
+    assert eng.frames_processed + eng.mailbox.dropped >= len(replay_frames) - 1
+
+
+def test_engine_skips_frames_without_pose():
+    eng = SegmentationEngine(CFG, backend="jax")
+    rec = eng.process_frame(5.0, np.random.rand(100, 3).astype(np.float32))
+    assert rec is None
+    assert eng.frames_skipped_no_pose == 1
+    assert eng.records == []
+
+
+def test_engine_visualization(replay_frames):
+    eng = SegmentationEngine(CFG, backend="jax", collect_inlier_points=True)
+    eng.run_replay(replay_frames[:3])
+    viz = eng.visualization()
+    assert len(viz["cylinders"]) == len(eng.world_segments())
+    for c in viz["cylinders"]:
+        assert c["height"] > 0
+    assert len(viz["segment_texts"]) == len(viz["cylinders"])
+    if eng.world_segments():
+        assert "hough_points" in viz

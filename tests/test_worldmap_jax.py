@@ -75,7 +75,7 @@ def run_frames(frames_of_segs, cfg=CFG):
     ws = init_world(cfg)
     for segs in frames_of_segs:
         wm.step([s.copy() for s in segs])
-        ws = world_step(ws, batch_from_oracle(segs, cfg), cfg)
+        ws, _slots = world_step(ws, batch_from_oracle(segs, cfg), cfg)
     return wm, ws
 
 
