@@ -164,23 +164,40 @@ class _LoopState(NamedTuple):
 
 
 def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
-                  cfg: PipelineConfig) -> HoughResult:
+                  cfg: PipelineConfig,
+                  dir_tables: tuple | None = None,
+                  dir_axis: str | None = None) -> HoughResult:
     """Run the full iterative Hough extraction on one pre-filtered cloud.
 
     Args:
       points: (N, 3) float32 cloud (drone frame, post voxel grid).
       valid:  (N,) bool validity mask.
       cfg: static config (granularity selects the direction table — D-GRAN).
+      dir_tables: optional (dirs, c1, c2) arrays overriding the builtin
+        table — used by the direction-sharded multi-chip path, where each
+        device holds a contiguous shard of the direction sphere.
+      dir_axis: mesh axis name when running inside shard_map with the
+        direction table sharded; the voting argmax then reduces across the
+        axis with pmax/pmin and the winning direction's rows are broadcast
+        with a masked psum (classic tensor-parallel pattern: points
+        replicated, direction table sharded, O(1) collectives per round).
 
     Shapes are static; call under jit with cfg closed over or marked static.
     """
     N = points.shape[0]
     L = cfg.max_lines
-    dirs_np, c1_np, c2_np = hough_space(cfg.granularity)
-    dirs = jnp.asarray(dirs_np, jnp.float32)
-    c1 = jnp.asarray(c1_np, jnp.float32)
-    c2 = jnp.asarray(c2_np, jnp.float32)
+    if dir_tables is None:
+        dirs_np, c1_np, c2_np = hough_space(cfg.granularity)
+        dirs = jnp.asarray(dirs_np, jnp.float32)
+        c1 = jnp.asarray(c1_np, jnp.float32)
+        c2 = jnp.asarray(c2_np, jnp.float32)
+    else:
+        dirs, c1, c2 = (t.astype(jnp.float32) for t in dir_tables)
     B = dirs.shape[0]
+    if dir_axis is not None:
+        dir_offset = jax.lax.axis_index(dir_axis).astype(jnp.int32) * B
+    else:
+        dir_offset = jnp.int32(0)
     num_x_static = cfg.num_x_max
     dx = jnp.float32(cfg.opt_dx)
     dv = jnp.float32(cfg.diag_voxel)
@@ -220,9 +237,14 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
         best_len, best_cell = _mode_per_row(sk)
         # global winner: max count, tie-break smallest (direction, cell)
         M = best_len.max()
-        b_iota = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
+        b_iota = jax.lax.broadcasted_iota(jnp.int32, (B,), 0) + dir_offset
         flat = b_iota * cells + best_cell
         winner = jnp.where(best_len == M, flat, jnp.iinfo(jnp.int32).max).min()
+        if dir_axis is not None:
+            M_g = jax.lax.pmax(M, dir_axis)
+            winner = jnp.where(M == M_g, winner, jnp.iinfo(jnp.int32).max)
+            winner = jax.lax.pmin(winner, dir_axis)
+            M = M_g
         b_idx = winner // cells
         cell = winner % cells
         xi = (cell // num_x_static).astype(jnp.float32)
@@ -230,8 +252,16 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
         half = (d / 2.0).astype(jnp.float32)
         xc = (xi + 0.5) * dx - half
         yc = (yi + 0.5) * dx - half
-        a0 = xc * c1[b_idx] + yc * c2[b_idx]
-        b0 = dirs[b_idx]
+        b_loc = jnp.clip(b_idx - dir_offset, 0, B - 1)
+        if dir_axis is not None:
+            owns = (b_idx >= dir_offset) & (b_idx < dir_offset + B)
+            ow = owns.astype(jnp.float32)
+            b0 = jax.lax.psum(dirs[b_loc] * ow, dir_axis)
+            c1row = jax.lax.psum(c1[b_loc] * ow, dir_axis)
+            c2row = jax.lax.psum(c2[b_loc] * ow, dir_axis)
+        else:
+            b0, c1row, c2row = dirs[b_loc], c1[b_loc], c2[b_loc]
+        a0 = xc * c1row + yc * c2row
 
         # ---- refinement #1 (h:245-248) ----
         m1 = s.active & (_line_distance2(Xs, a0, b0) <= dx * dx)

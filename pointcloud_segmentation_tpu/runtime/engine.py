@@ -38,7 +38,7 @@ class SegmentationEngine:
         self.cfg = cfg
         self.backend = backend
         self.poses = PoseBuffer()
-        self.mailbox = LatestWinsMailbox()
+        self.mailbox = self._make_mailbox()
         self.records: List[dict] = []
         self.frames_processed = 0
         self.frames_skipped_no_pose = 0
@@ -64,6 +64,18 @@ class SegmentationEngine:
             self._wm = oracle.WorldMap(cfg)
         else:
             raise ValueError(f"unknown backend {backend!r}")
+
+    def _make_mailbox(self):
+        """Prefer the native (C++) latest-wins mailbox; fall back to Python."""
+        try:
+            from .. import native
+
+            if native.available():
+                return native.NativeMailbox(
+                    max_points=max(self.cfg.shapes.max_raw_points, 4096))
+        except Exception:
+            pass
+        return LatestWinsMailbox()
 
     # ---------------------------------------------------------------- inputs
 

@@ -1,0 +1,104 @@
+"""Multi-device sharding on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pointcloud_segmentation_tpu.config import default_config, StaticShapes
+from pointcloud_segmentation_tpu.parallel import (
+    make_mesh, make_multichip_step, make_batched_extract)
+from pointcloud_segmentation_tpu.pipeline import make_process_frame, init_world
+from pointcloud_segmentation_tpu.io.scene import OBS_TESTS_SCENE, WP_TESTS, trajectory_poses
+from pointcloud_segmentation_tpu.io.simulator import simulate_trajectory, TofSpec
+
+CFG = default_config(
+    granularity=1,
+    shapes=StaticShapes(max_raw_points=1024, max_points=512,
+                        max_world_segments=16),
+)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def make_frames(n, cfg=CFG):
+    poses = trajectory_poses(WP_TESTS, hz=1.0, velocity=0.4)[:n]
+    frames = simulate_trajectory(
+        OBS_TESTS_SCENE, poses, TofSpec(width=32, height=32, noise_frac=0.002),
+        seed=5)
+    clouds = np.full((n, cfg.shapes.max_raw_points, 3), np.nan, np.float32)
+    poss = np.zeros((n, 3), np.float32)
+    quats = np.zeros((n, 4), np.float32)
+    for i, fr in enumerate(frames):
+        k = min(len(fr.points), cfg.shapes.max_raw_points)
+        clouds[i, :k] = fr.points[:k]
+        poss[i] = fr.position
+        quats[i] = fr.quat_wxyz
+    return frames, clouds, poss, quats
+
+
+def run_single_device(frames, cfg=CFG):
+    step = make_process_frame(cfg)
+    st = init_world(cfg)
+    for fr in frames:
+        raw = np.full((cfg.shapes.max_raw_points, 3), np.nan, np.float32)
+        k = min(len(fr.points), cfg.shapes.max_raw_points)
+        raw[:k] = fr.points[:k]
+        st, _ = step(st, jnp.asarray(raw), jnp.asarray(fr.position, jnp.float32),
+                     jnp.asarray(fr.quat_wxyz, jnp.float32))
+    return st
+
+
+@pytest.mark.parametrize("n_batch,n_dir", [(4, 2), (8, 1), (2, 4)])
+def test_multichip_step_matches_single_device(n_batch, n_dir):
+    mesh = make_mesh(n_batch=n_batch, n_dir=n_dir)
+    frames, clouds, poss, quats = make_frames(8)
+    step = make_multichip_step(CFG, mesh)
+    st = init_world(CFG)
+    st, nlines, statuses = step(st, jnp.asarray(clouds), jnp.asarray(poss),
+                                jnp.asarray(quats))
+    ref = run_single_device(frames)
+    assert int(st.count) == int(ref.count)
+    n = int(ref.count)
+    np.testing.assert_allclose(np.asarray(st.a)[:n], np.asarray(ref.a)[:n],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.b)[:n], np.asarray(ref.b)[:n],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.t_min)[:n], np.asarray(ref.t_min)[:n],
+                               atol=1e-4)
+    # intersection sentinel topology identical
+    mj = (np.asarray(st.inter)[:n, :n] != -1).all(-1)
+    mr = (np.asarray(ref.inter)[:n, :n] != -1).all(-1)
+    np.testing.assert_array_equal(mj, mr)
+
+
+def test_batched_extract_runs_sharded():
+    mesh = make_mesh(n_batch=4, n_dir=2)
+    frames, clouds, poss, quats = make_frames(4)
+    run = make_batched_extract(CFG, mesh)
+    segs, nlines, statuses = run(jnp.asarray(clouds), jnp.asarray(poss),
+                                 jnp.asarray(quats))
+    assert segs.a.shape[0] == 4
+    assert np.asarray(statuses).shape == (4,)
+    # at least one frame extracted something
+    assert np.asarray(segs.valid).any()
+
+
+def test_dir_sharding_parity_with_unsharded():
+    # same frames, dir-sharded vs plain mesh: identical segments
+    frames, clouds, poss, quats = make_frames(4)
+    m1 = make_mesh(n_batch=4, n_dir=1)
+    m2 = make_mesh(n_batch=2, n_dir=4)
+    r1 = make_batched_extract(CFG, m1)(jnp.asarray(clouds), jnp.asarray(poss),
+                                       jnp.asarray(quats))
+    # pad to batch multiple of 2 is fine (4 % 2 == 0)
+    r2 = make_batched_extract(CFG, m2)(jnp.asarray(clouds), jnp.asarray(poss),
+                                       jnp.asarray(quats))
+    v1, v2 = np.asarray(r1[0].valid), np.asarray(r2[0].valid)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_allclose(np.asarray(r1[0].a)[v1], np.asarray(r2[0].a)[v2],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1[0].b)[v1], np.asarray(r2[0].b)[v2],
+                               atol=1e-5)
