@@ -124,8 +124,8 @@ def _canonical_sign(b):
     return b * s
 
 
-def _vote_keys(Xs, valid, c1, c2, d, dx, num_x, num_x_static):
-    """(B, N) int32 cell keys = xi * num_x_static + yi; invalid -> sentinel.
+def _vote_bins(Xs, c1, c2, d, dx, num_x):
+    """(B, N) int32 xi and yi accumulator bins.
 
     Float32 binning with fixed association order, matching the oracle's spec.
     """
@@ -135,22 +135,56 @@ def _vote_keys(Xs, valid, c1, c2, d, dx, num_x, num_x_static):
     half = (d / 2.0).astype(jnp.float32)
     xi = jnp.clip(jnp.floor((xp + half) / dx).astype(jnp.int32), 0, num_x - 1)
     yi = jnp.clip(jnp.floor((yp + half) / dx).astype(jnp.int32), 0, num_x - 1)
-    return xi * num_x_static + yi
+    return xi, yi
 
 
-def _mode_per_row(keys_sorted):
-    """(count, cell) of the most frequent key per row; first longest run wins
-    (== smallest cell among ties, rows being sorted ascending)."""
-    B, N = keys_sorted.shape
-    idx = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
-    isnew = jnp.concatenate(
-        [jnp.ones((B, 1), bool), keys_sorted[:, 1:] != keys_sorted[:, :-1]], axis=1)
-    start = jax.lax.cummax(jnp.where(isnew, idx, 0), axis=1)
-    runlen = idx - start + 1
-    best_len = runlen.max(axis=1)
-    best_pos = runlen.argmax(axis=1)
-    best_cell = jnp.take_along_axis(keys_sorted, best_pos[:, None], axis=1)[:, 0]
-    return best_len, best_cell
+_VOTE_TILE = 128  # directions per histogram tile (bounds the one-hot transient)
+
+
+def _vote_histogram(xi, yi, active, num_x_static):
+    """Exact (B, NX, NX) vote counts of the active points, on the MXU.
+
+    votes[b, x, y] = #{n : active[n], xi[b,n]==x, yi[b,n]==y}, computed as a
+    batched one-hot matmul: X1[b,x,n] @ Y1[b,n,y] with bf16 one-hots and f32
+    accumulation (0/1 values and counts < 2^24 are exact).  Tiled over the
+    direction axis with lax.map so the transient one-hots stay ~tens of MB.
+    This is the scatter-free TPU formulation of the reference accumulator's
+    ``add``: the full histogram is cheap enough (a few GFLOP at granularity
+    4) to rebuild from the active mask every round, which is exactly
+    equivalent to the reference's add-then-subtract bookkeeping.
+    """
+    B, N = xi.shape
+    x_iota = jax.lax.broadcasted_iota(jnp.int32, (num_x_static, 1), 0)
+    # fold the active mask into the x bin: inactive -> out-of-range sentinel,
+    # whose one-hot row is all-zero (cheaper than a separate (B,NX,N) mask)
+    xi = jnp.where(active[None, :], xi, num_x_static)
+
+    def tile_votes(args):
+        xt, yt = args
+        X1 = (xt[:, None, :] == x_iota[None, :, :]).astype(jnp.bfloat16)
+        Y1 = (yt[:, :, None] == x_iota[None, :, :].transpose(0, 2, 1)
+              ).astype(jnp.bfloat16)
+        return jnp.einsum("bxn,bny->bxy", X1, Y1,
+                          preferred_element_type=jnp.float32)
+
+    if B <= _VOTE_TILE:
+        return tile_votes((xi, yi))
+    T = B // _VOTE_TILE  # B is padded to a _VOTE_TILE multiple by the caller
+    votes = jax.lax.map(tile_votes,
+                        (xi.reshape(T, _VOTE_TILE, N), yi.reshape(T, _VOTE_TILE, N)))
+    return votes.reshape(B, num_x_static, num_x_static)
+
+
+def _pad_dirs_to_tile(dirs, c1, c2):
+    """Pad the direction table to a _VOTE_TILE multiple with copies of
+    direction 0.  A duplicate direction reproduces direction 0's counts and
+    loses the smallest-flat-index tie-break, so padding never wins."""
+    B = dirs.shape[0]
+    pad = (-B) % _VOTE_TILE
+    if pad == 0:
+        return dirs, c1, c2
+    rep = lambda t: jnp.concatenate([t, jnp.broadcast_to(t[:1], (pad, 3))], 0)
+    return rep(dirs), rep(c1), rep(c2)
 
 
 class _LoopState(NamedTuple):
@@ -193,6 +227,7 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
         c2 = jnp.asarray(c2_np, jnp.float32)
     else:
         dirs, c1, c2 = (t.astype(jnp.float32) for t in dir_tables)
+    dirs, c1, c2 = _pad_dirs_to_tile(dirs, c1, c2)
     B = dirs.shape[0]
     if dir_axis is not None:
         dir_offset = jax.lax.axis_index(dir_axis).astype(jnp.int32) * B
@@ -214,10 +249,8 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
     precheck_fail = (count_in == 0) | (d == 0.0) | (dx >= d)
     num_x = jnp.maximum(jnp.floor(d / dx + 0.5).astype(jnp.int32), 1)
 
-    base_keys = _vote_keys(Xs, valid, c1, c2, d, dx, num_x, num_x_static)
+    xi_bins, yi_bins = _vote_bins(Xs, c1, c2, d, dx, num_x)
     cells = num_x_static * num_x_static
-    n_iota = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
-    sentinel = cells + n_iota
 
     rs = jnp.asarray(cfg.radius_sizes, jnp.float32)
     rs_max = jnp.float32(max(cfg.radius_sizes))
@@ -231,15 +264,12 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
         return c
 
     def body(s: _LoopState) -> _LoopState:
-        # ---- voting: per-direction mode over active points ----
-        keys = jnp.where(s.active[None, :], base_keys, sentinel)
-        sk = jnp.sort(keys, axis=1)
-        best_len, best_cell = _mode_per_row(sk)
-        # global winner: max count, tie-break smallest (direction, cell)
-        M = best_len.max()
-        b_iota = jax.lax.broadcasted_iota(jnp.int32, (B,), 0) + dir_offset
-        flat = b_iota * cells + best_cell
-        winner = jnp.where(best_len == M, flat, jnp.iinfo(jnp.int32).max).min()
+        # ---- voting: exact histogram over active points, global argmax ----
+        votes = _vote_histogram(xi_bins, yi_bins, s.active, num_x_static)
+        flat_votes = votes.reshape(-1)
+        M = flat_votes.max()
+        # first argmax == lexicographically smallest (direction, xi, yi)
+        winner = jnp.argmax(flat_votes).astype(jnp.int32) + dir_offset * cells
         if dir_axis is not None:
             M_g = jax.lax.pmax(M, dir_axis)
             winner = jnp.where(M == M_g, winner, jnp.iinfo(jnp.int32).max)

@@ -85,15 +85,20 @@ def preprocess(points: jnp.ndarray, cfg: PipelineConfig
     pts_s = jnp.where(valid[order][:, None], points[order], 0.0)
     valid_s = valid[order]
 
-    # group boundaries over the sorted keys
-    first = jnp.concatenate([jnp.array([True]), keys_s[1:] != keys_s[:-1]])
-    first = first & valid_s
-    group = jnp.cumsum(first.astype(jnp.int32)) - 1          # -1 before 1st valid
-    group = jnp.where(valid_s, group, n_out)                  # invalid -> dropped
+    # Groups are contiguous runs in sorted order with all valid rows first.
+    # Per-voxel sums go through a one-hot matmul on the MXU (TPU scatters
+    # serialize; this stays one dense op) with f32-accurate accumulation;
+    # counts come from an exact integer prefix sum.
+    isnew = jnp.concatenate([jnp.array([True]), keys_s[1:] != keys_s[:-1]])
+    first = isnew & valid_s
+    group = jnp.cumsum(first.astype(jnp.int32)) - 1       # -1 before 1st valid
+    group = jnp.where(valid_s, group, n_out)              # invalid -> dropped
 
-    sums = jax.ops.segment_sum(pts_s, group, num_segments=n_out + 1)[:n_out]
-    cnts = jax.ops.segment_sum(valid_s.astype(jnp.float32), group,
-                               num_segments=n_out + 1)[:n_out]
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (n_out, 1), 0)
+    onehot = (group[None, :] == g_iota).astype(jnp.float32)   # (n_out, N)
+    sums = jnp.dot(onehot, pts_s, precision=jax.lax.Precision.HIGHEST)
+    cnts = onehot.sum(axis=1)
+
     count = jnp.minimum(first.sum().astype(jnp.int32), n_out)
     out_valid = jnp.arange(n_out, dtype=jnp.int32) < count
     centroids = sums / jnp.maximum(cnts, 1.0)[:, None]

@@ -196,6 +196,22 @@ def fuse_frame(state: WorldState, segs: SegmentBatch, cfg: PipelineConfig):
     return new, count, valid, modified, new_flags, slots
 
 
+def _solve3_cramer(A, b, enabled):
+    """Batched 3x3 solve via Cramer's rule (pure vector ops — the batched LU
+    path unrolls poorly on TPU).  Disabled entries yield NaN, which the
+    caller's isfinite gate treats as 'no connection' (the oracle's singular-
+    solve path behaves the same)."""
+    c0, c1, c2 = A[..., 0], A[..., 1], A[..., 2]          # matrix columns
+    cx12 = jnp.cross(c1, c2)
+    det = (c0 * cx12).sum(-1)
+    ok = enabled & (det != 0.0)
+    inv = jnp.where(ok, 1.0, jnp.nan) / jnp.where(det != 0.0, det, 1.0)
+    x0 = (b * cx12).sum(-1) * inv
+    x1 = (b * jnp.cross(c2, c0)).sum(-1) * inv
+    x2 = (b * jnp.cross(c0, c1)).sum(-1) * inv
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
 def update_intersections(state_fields: dict, valid, inter_old, touched,
                          cfg: PipelineConfig):
     """Batched checkConnections over touched pairs (node.cpp:519-537, 554-584).
@@ -224,9 +240,7 @@ def update_intersections(state_fields: dict, valid, inter_old, touched,
     LHS = jnp.stack([bi, -bj, nhat], axis=-1)        # columns (node.cpp:568)
     RHS = p1[None, :, :] - p1[:, None, :]            # p1_j - p1_i
 
-    eye = jnp.eye(3, dtype=LHS.dtype)
-    LHS_safe = jnp.where(pair[..., None, None], LHS, eye)
-    sol = jnp.linalg.solve(LHS_safe, RHS[..., None])[..., 0]
+    sol = _solve3_cramer(LHS, RHS, pair)
     dist = jnp.abs(sol[..., 2])
 
     tmin_i, tmax_i = t_min[:, None], t_max[:, None]
