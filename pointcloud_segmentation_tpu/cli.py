@@ -1,0 +1,191 @@
+"""Command-line interface — the `roslaunch` analog.
+
+Subcommands:
+  run      simulate (or replay) a trajectory through the pipeline, write the
+           three reference CSVs (+ optional plots)
+  record   simulate a trajectory and save a binary replay log
+  eval     compare a segments.csv against the benchmark scene's ground truth
+           with the reference match criteria (tests_structure.py analog)
+  timing   analyze a processing_time.csv (proc_time_analysis.py analog)
+
+Examples:
+  python -m pointcloud_segmentation_tpu run --granularity 4 --out ./output_data
+  python -m pointcloud_segmentation_tpu run --replay log.pcsl --backend oracle
+  python -m pointcloud_segmentation_tpu eval ./output_data/segments.csv --plots
+  python -m pointcloud_segmentation_tpu timing ./output_data/processing_time.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--config", help="reference-format config.yaml")
+    p.add_argument("--granularity", type=int, default=None)
+    p.add_argument("--opt-nlines", type=int, default=None)
+    p.add_argument("--backend", choices=["jax", "oracle"], default="jax")
+    p.add_argument("--out", default=None, help="output dir (path_to_output)")
+
+
+def _build_cfg(args):
+    from .config import PipelineConfig, default_config
+
+    overrides = {}
+    if args.granularity is not None:
+        overrides["granularity"] = args.granularity
+    if getattr(args, "opt_nlines", None) is not None:
+        overrides["opt_nlines"] = args.opt_nlines
+    if args.out:
+        overrides["path_to_output"] = args.out
+    if args.config:
+        return PipelineConfig.from_yaml(args.config, **overrides)
+    return default_config(**overrides)
+
+
+def _frames(args, cfg):
+    from .io.scene import OBS_TESTS_SCENE, WP_TESTS, trajectory_poses, load_waypoints_csv
+    from .io.simulator import simulate_trajectory, TofSpec
+
+    if getattr(args, "replay", None):
+        from .io.replay import load_frames
+
+        return load_frames(args.replay)
+    wps = load_waypoints_csv(args.waypoints) if getattr(args, "waypoints", None) else WP_TESTS
+    poses = trajectory_poses(wps, hz=args.hz, velocity=args.velocity)
+    if args.max_frames:
+        poses = poses[: args.max_frames]
+    return simulate_trajectory(OBS_TESTS_SCENE, poses,
+                               TofSpec(noise_frac=args.noise), seed=args.seed)
+
+
+def cmd_run(args) -> int:
+    from .runtime import SegmentationEngine
+
+    cfg = _build_cfg(args)
+    frames = _frames(args, cfg)
+    eng = SegmentationEngine(cfg, backend=args.backend)
+    eng.run_replay(frames)
+    outdir = args.out or cfg.path_to_output
+    paths = eng.finalize(outdir)
+    segs = eng.world_segments()
+    print(f"{len(frames)} frames -> {len(segs)} world segments, "
+          f"{len(eng.intersections_rows())} intersections")
+    for k, v in paths.items():
+        print(f"  {k}: {v}")
+    if args.plots:
+        from . import viz
+        from .eval import match_report
+        from .io.scene import OBS_TESTS_SCENE, scene_truth
+
+        truth = scene_truth(OBS_TESTS_SCENE)
+        proc = [dict(s, endpoints=[s["t_min"], s["t_max"]]) for s in segs]
+        rep = match_report(truth, proc)
+        viz.plot_world(proc, truth, rep["matches"],
+                       out_path=os.path.join(outdir, "world.png"))
+        if rep["matches"]:
+            viz.plot_distance_vs_angle(
+                rep["matches"], out_path=os.path.join(outdir, "errors.png"))
+        print(f"  plots: {outdir}/world.png")
+    return 0
+
+
+def cmd_record(args) -> int:
+    from .io.replay import save_frames
+
+    cfg = _build_cfg(args)
+    frames = _frames(args, cfg)
+    n = save_frames(args.log, frames)
+    print(f"recorded {n} frames -> {args.log}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from .eval import match_report
+    from .io.scene import OBS_TESTS_SCENE, scene_truth
+    from .runtime.csvio import read_segments_csv
+
+    proc = read_segments_csv(args.segments_csv)
+    truth = scene_truth(OBS_TESTS_SCENE)
+    rep = match_report(truth, proc, args.angle_threshold, args.distance_threshold)
+    out = {k: v for k, v in rep.items() if k != "matches"}
+    print(json.dumps(out, indent=2))
+    if args.plots:
+        from . import viz
+
+        base = os.path.dirname(os.path.abspath(args.segments_csv))
+        viz.plot_world(proc, truth, rep["matches"],
+                       out_path=os.path.join(base, "eval_world.png"))
+        if rep["matches"]:
+            viz.plot_distance_vs_angle(
+                rep["matches"], out_path=os.path.join(base, "eval_errors.png"))
+        print(f"plots: {base}/eval_world.png")
+    return 0 if rep["n_truth_matched"] else 1
+
+
+def cmd_timing(args) -> int:
+    from .eval import load_processing_time_csv, summarize
+
+    data = load_processing_time_csv(args.processing_time_csv)
+    print(json.dumps(summarize(data), indent=2))
+    if args.plots:
+        from .eval.timing import plot_boxplots
+
+        base = os.path.dirname(os.path.abspath(args.processing_time_csv))
+        plot_boxplots(data, os.path.join(base, "timing.png"))
+        print(f"plots: {base}/timing.png")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="pointcloud_segmentation_tpu",
+                                 description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="run the pipeline over a trajectory")
+    _add_common(pr)
+    pr.add_argument("--replay", help="replay a recorded .pcsl frame log")
+    pr.add_argument("--waypoints", help="reference-format waypoint CSV")
+    pr.add_argument("--hz", type=float, default=4.0)
+    pr.add_argument("--velocity", type=float, default=0.25)
+    pr.add_argument("--noise", type=float, default=0.002)
+    pr.add_argument("--seed", type=int, default=0)
+    pr.add_argument("--max-frames", type=int, default=0)
+    pr.add_argument("--plots", action="store_true")
+    pr.set_defaults(fn=cmd_run)
+
+    pc = sub.add_parser("record", help="simulate + save a replay log")
+    _add_common(pc)
+    pc.add_argument("log", help="output .pcsl path")
+    pc.add_argument("--waypoints")
+    pc.add_argument("--hz", type=float, default=4.0)
+    pc.add_argument("--velocity", type=float, default=0.25)
+    pc.add_argument("--noise", type=float, default=0.002)
+    pc.add_argument("--seed", type=int, default=0)
+    pc.add_argument("--max-frames", type=int, default=0)
+    pc.set_defaults(fn=cmd_record)
+
+    pe = sub.add_parser("eval", help="ground-truth accuracy of a segments.csv")
+    pe.add_argument("segments_csv")
+    pe.add_argument("--angle-threshold", type=float, default=0.1)
+    pe.add_argument("--distance-threshold", type=float, default=0.5)
+    pe.add_argument("--plots", action="store_true")
+    pe.set_defaults(fn=cmd_eval)
+
+    pt = sub.add_parser("timing", help="analyze a processing_time.csv")
+    pt.add_argument("processing_time_csv")
+    pt.add_argument("--plots", action="store_true")
+    pt.set_defaults(fn=cmd_timing)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

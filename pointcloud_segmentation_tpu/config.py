@@ -76,6 +76,12 @@ class PipelineConfig:
     # --- TPU-native additions ---
     shapes: StaticShapes = dataclasses.field(default_factory=StaticShapes)
     window_size: float = WINDOW_FILTERING_SIZE
+    # Pallas fused voting kernel (ops/voting_pallas.py): opt-in.  Measured on
+    # v5e the XLA batched-einsum histogram currently schedules better than
+    # the per-direction kernel (12.5 vs 28 ms/frame at granularity 4), so
+    # auto (None) resolves to False; the kernel remains available for
+    # experimentation and future fused add/subtract designs.
+    use_pallas: bool | None = None
 
     def __post_init__(self):
         object.__setattr__(self, "radius_sizes", tuple(float(r) for r in self.radius_sizes))

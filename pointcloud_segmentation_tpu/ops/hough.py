@@ -251,6 +251,7 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
 
     xi_bins, yi_bins = _vote_bins(Xs, c1, c2, d, dx, num_x)
     cells = num_x_static * num_x_static
+    use_pallas = bool(cfg.use_pallas)  # None (auto) -> False; see config.py
 
     rs = jnp.asarray(cfg.radius_sizes, jnp.float32)
     rs_max = jnp.float32(max(cfg.radius_sizes))
@@ -265,7 +266,13 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
 
     def body(s: _LoopState) -> _LoopState:
         # ---- voting: exact histogram over active points, global argmax ----
-        votes = _vote_histogram(xi_bins, yi_bins, s.active, num_x_static)
+        if use_pallas:
+            from .voting_pallas import vote_histogram_pallas
+
+            xi_m = jnp.where(s.active[None, :], xi_bins, num_x_static)
+            votes = vote_histogram_pallas(xi_m, yi_bins, num_x_static)
+        else:
+            votes = _vote_histogram(xi_bins, yi_bins, s.active, num_x_static)
         flat_votes = votes.reshape(-1)
         M = flat_votes.max()
         # first argmax == lexicographically smallest (direction, xi, yi)

@@ -1,0 +1,53 @@
+"""CLI + viz smoke tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pointcloud_segmentation_tpu.cli import main
+
+
+def test_cli_run_and_eval_and_timing(tmp_path, capsys):
+    out = str(tmp_path / "out")
+    rc = main(["run", "--granularity", "2", "--backend", "jax", "--out", out,
+               "--hz", "1.0", "--velocity", "0.4", "--max-frames", "6",
+               "--plots"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "world segments" in text
+    assert os.path.exists(os.path.join(out, "segments.csv"))
+    assert os.path.exists(os.path.join(out, "world.png"))
+
+    rc = main(["eval", os.path.join(out, "segments.csv")])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["n_truth_matched"] >= 2
+
+    rc = main(["timing", os.path.join(out, "processing_time.csv")])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out)
+    assert s["n_frames"] == 6
+
+
+def test_cli_record_and_replay(tmp_path, capsys):
+    log = str(tmp_path / "frames.pcsl")
+    rc = main(["record", log, "--hz", "1.0", "--velocity", "0.4",
+               "--max-frames", "4"])
+    assert rc == 0
+    assert os.path.getsize(log) > 100
+
+    out = str(tmp_path / "out2")
+    rc = main(["run", "--granularity", "2", "--replay", log, "--out", out,
+               "--backend", "oracle"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "processing_time.csv"))
+
+
+def test_cli_with_reference_yaml(tmp_path, capsys):
+    out = str(tmp_path / "out3")
+    rc = main(["run", "--config", "/root/reference/config_pc_seg/config.yaml",
+               "--granularity", "2", "--out", out, "--hz", "1.0",
+               "--velocity", "0.5", "--max-frames", "3"])
+    assert rc == 0
