@@ -19,6 +19,8 @@ numpy reference — the CPU baseline).
 
 from __future__ import annotations
 
+import json
+import logging
 import os
 import threading
 import time
@@ -26,15 +28,19 @@ from typing import List, Optional
 
 import numpy as np
 
-from ..config import PipelineConfig
+from ..config import PipelineConfig, VERBOSE_INFO, VERBOSE_NONE
 from .posebuffer import PoseBuffer
 from .mailbox import LatestWinsMailbox
 from . import csvio
 
+logger = logging.getLogger("pointcloud_segmentation_tpu")
+
 
 class SegmentationEngine:
     def __init__(self, cfg: PipelineConfig, backend: str = "jax",
-                 collect_inlier_points: bool = False):
+                 collect_inlier_points: bool = False,
+                 checkpoint_every: int = 0,
+                 checkpoint_path: Optional[str] = None):
         self.cfg = cfg
         self.backend = backend
         self.poses = PoseBuffer()
@@ -43,10 +49,16 @@ class SegmentationEngine:
         self.frames_processed = 0
         self.frames_skipped_no_pose = 0
         self.collect_inlier_points = collect_inlier_points
+        self.checkpoint_every = checkpoint_every
+        self.checkpoint_path = checkpoint_path
         self._inlier_points: dict[int, list[np.ndarray]] = {}
         self._program_start: Optional[float] = None
         self._worker: Optional[threading.Thread] = None
         self._running = False
+
+        # configuration dump, as the node logs at startup (node.cpp:245-257)
+        if cfg.verbose_level > VERBOSE_NONE:
+            logger.info("Configuration: %s", json.dumps(cfg.to_dict()))
 
         if backend == "jax":
             import jax.numpy as jnp  # deferred so the oracle path is jax-free
@@ -118,6 +130,23 @@ class SegmentationEngine:
         }
         self.records.append(record)
         self.frames_processed += 1
+
+        # verbose reporting, mirroring the node's levels (node.cpp:309-346)
+        if self.cfg.verbose_level > VERBOSE_NONE:
+            logger.info("Callback execution time: %d us",
+                        int(record["processing_time"]))
+        if self.cfg.verbose_level > VERBOSE_INFO:
+            for i, t1, j, t2 in self.intersections_rows():
+                logger.info("intersection_matrix[%d][%d] = (%f, %f)", i, j, t1, t2)
+            for i, s in enumerate(self.world_segments()):
+                logger.info("Segment %d: a = (%f, %f, %f), t_min = %f, t_max = %f",
+                            i, s["a"][0], s["a"][1], s["a"][2],
+                            s["t_min"], s["t_max"])
+
+        if (self.checkpoint_every and self.checkpoint_path
+                and self.frames_processed % self.checkpoint_every == 0):
+            self.save_checkpoint(self.checkpoint_path)
+
         record = dict(record, status=info["status"], t=t)
         return record
 
@@ -268,6 +297,82 @@ class SegmentationEngine:
                 k: np.concatenate(v, axis=0)
                 for k, v in self._inlier_points.items()}
         return out
+
+    # ---------------------------------------------------------------- checkpoint
+
+    def save_checkpoint(self, path: str) -> None:
+        """Serialize the world map + per-frame records (checkpoint/resume —
+        a capability gap in the reference, whose map lives only in RAM,
+        SURVEY.md §5).  Fixed-capacity arrays make this a flat npz."""
+        payload = {
+            "backend": np.array(self.backend),
+            "frames_processed": np.array(self.frames_processed),
+            "records": np.array(
+                [[r["wall_time"], r["processing_time"], r["seg_vec_size"],
+                  r["nblines"]] for r in self.records],
+                dtype=np.float64).reshape(-1, 4),
+        }
+        if self.backend == "jax":
+            for k in ("a", "b", "t_min", "t_max", "radius", "points_size",
+                      "pca_coeff", "pca_eigenvalues", "valid", "count", "inter"):
+                payload[f"world_{k}"] = np.asarray(getattr(self._state, k))
+        else:
+            segs = self._wm.segments
+            payload["world_count"] = np.array(len(segs))
+            for name, get in (
+                    ("a", lambda s: s.a), ("b", lambda s: s.b),
+                    ("t_min", lambda s: s.t_min), ("t_max", lambda s: s.t_max),
+                    ("radius", lambda s: s.radius),
+                    ("points_size", lambda s: s.points_size),
+                    ("pca_coeff", lambda s: s.pca_coeff),
+                    ("pca_eigenvalues", lambda s: s.pca_eigenvalues)):
+                payload[f"seg_{name}"] = np.array([get(s) for s in segs])
+            payload["seg_points"] = (np.concatenate([s.points for s in segs])
+                                     if segs else np.zeros((0, 3)))
+            payload["seg_points_offsets"] = np.cumsum(
+                [0] + [len(s.points) for s in segs])
+            payload["inter"] = self._wm.inter
+        tmp = path + ".tmp.npz"
+        np.savez_compressed(tmp, **payload)
+        os.replace(tmp, path)
+
+    def load_checkpoint(self, path: str) -> None:
+        """Resume the world map from a checkpoint written by the same backend."""
+        data = np.load(path, allow_pickle=False)
+        if str(data["backend"]) != self.backend:
+            raise ValueError(
+                f"checkpoint backend {data['backend']} != engine {self.backend}")
+        self.frames_processed = int(data["frames_processed"])
+        self.records = [
+            {"wall_time": r[0], "processing_time": r[1],
+             "seg_vec_size": int(r[2]), "nblines": int(r[3])}
+            for r in data["records"]]
+        if self.backend == "jax":
+            import jax.numpy as jnp
+
+            from ..worldmap import WorldState
+
+            self._state = WorldState(**{
+                k: jnp.asarray(data[f"world_{k}"])
+                for k in WorldState._fields})
+        else:
+            from ..oracle import Segment
+
+            n = int(data["world_count"])
+            offs = data["seg_points_offsets"]
+            segs = []
+            for i in range(n):
+                segs.append(Segment(
+                    a=data["seg_a"][i], b=data["seg_b"][i],
+                    t_min=float(data["seg_t_min"][i]),
+                    t_max=float(data["seg_t_max"][i]),
+                    radius=float(data["seg_radius"][i]),
+                    points=data["seg_points"][offs[i]:offs[i + 1]],
+                    points_size=int(data["seg_points_size"][i]),
+                    pca_coeff=float(data["seg_pca_coeff"][i]),
+                    pca_eigenvalues=data["seg_pca_eigenvalues"][i]))
+            self._wm.segments = segs
+            self._wm.inter = data["inter"]
 
     def finalize(self, outdir: Optional[str] = None) -> dict:
         """Write the three reference CSVs (the node-destructor flush)."""

@@ -1,0 +1,76 @@
+"""Golden-file regression: a committed fixture pins the end-to-end outputs.
+
+The fixture (tests/fixtures/golden_segments.csv) was produced by the numpy
+oracle on a deterministic simulated replay; both backends must keep
+reproducing it within tight tolerances (BASELINE.md's golden-test plan).
+Regenerate deliberately with:  python tests/test_golden.py regen
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from pointcloud_segmentation_tpu.config import default_config, StaticShapes
+from pointcloud_segmentation_tpu.runtime import SegmentationEngine
+from pointcloud_segmentation_tpu.runtime.csvio import read_segments_csv, write_segments_csv
+from pointcloud_segmentation_tpu.io.scene import OBS_TESTS_SCENE, WP_TESTS, trajectory_poses
+from pointcloud_segmentation_tpu.io.simulator import simulate_trajectory, TofSpec
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "golden_segments.csv")
+
+CFG = default_config(
+    granularity=2,
+    shapes=StaticShapes(max_raw_points=4096, max_points=2048,
+                        max_world_segments=32),
+)
+
+
+def golden_frames():
+    poses = trajectory_poses(WP_TESTS, hz=1.0, velocity=0.4)[:6]
+    return simulate_trajectory(OBS_TESTS_SCENE, poses,
+                               TofSpec(noise_frac=0.001), seed=7)
+
+
+def run(backend):
+    eng = SegmentationEngine(CFG, backend=backend)
+    eng.run_replay(golden_frames())
+    return eng.world_segments()
+
+
+def segments_match(segs, golden, atol_pt):
+    assert len(segs) == len(golden), (
+        f"{len(segs)} segments vs golden {len(golden)}")
+    for k, (s, g) in enumerate(zip(segs, golden)):
+        p1 = np.asarray(s["a"]) + s["t_min"] * np.asarray(s["b"])
+        p2 = np.asarray(s["a"]) + s["t_max"] * np.asarray(s["b"])
+        g1 = np.asarray(g["a"]) + g["endpoints"][0] * np.asarray(g["b"])
+        g2 = np.asarray(g["a"]) + g["endpoints"][1] * np.asarray(g["b"])
+        d = min(np.linalg.norm(p1 - g1) + np.linalg.norm(p2 - g2),
+                np.linalg.norm(p1 - g2) + np.linalg.norm(p2 - g1))
+        assert d < atol_pt, f"segment {k} endpoints differ by {d}"
+
+
+def test_fixture_exists():
+    assert os.path.exists(FIXTURE), "run `python tests/test_golden.py regen`"
+
+
+def test_oracle_reproduces_golden():
+    golden = read_segments_csv(FIXTURE)
+    segments_match(run("oracle"), golden, atol_pt=1e-4)
+
+
+def test_jax_reproduces_golden():
+    golden = read_segments_csv(FIXTURE)
+    # float32 device path vs float64 oracle: a few mm over metre-scale spans
+    segments_match(run("jax"), golden, atol_pt=2e-2)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "regen":
+        os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)
+        segs = run("oracle")
+        write_segments_csv(FIXTURE, segs)
+        print(f"wrote {len(segs)} segments -> {FIXTURE}")
