@@ -120,12 +120,85 @@ def bench_oracle(cfg, frames):
     }
 
 
+def bench_standalone_hough(cfg, frames, iters=20):
+    """BASELINE config 1: standalone hough-3d-lines on one recorded cloud."""
+    import jax
+    import jax.numpy as jnp
+    from pointcloud_segmentation_tpu.ops.preproc import preprocess
+    from pointcloud_segmentation_tpu.ops.hough import extract_lines
+
+    raw = np.full((cfg.shapes.max_raw_points, 3), np.nan, np.float32)
+    raw[: len(frames[0].points)] = frames[0].points
+    rawj = jnp.asarray(raw)
+
+    @jax.jit
+    def loop(x):
+        f, v, _ = preprocess(rawj, cfg)
+        return jax.lax.fori_loop(
+            0, iters, lambda i, acc: acc + extract_lines(f + acc * 0, v, cfg).nlines,
+            jnp.float32(0))
+
+    _ = float(loop(jnp.float32(0)))                 # compile
+    t0 = time.perf_counter()
+    _ = float(loop(jnp.float32(0)))
+    dt = (time.perf_counter() - t0) / iters
+    return {"ms_per_cloud": dt * 1e3, "clouds_per_sec": 1.0 / dt}
+
+
+def bench_batched(cfg, frames, batch=8, reps=4):
+    """BASELINE config 5 (single-chip part): batched multi-frame extraction
+    via vmap — the multi-chip version shards this batch over a mesh."""
+    import jax
+    import jax.numpy as jnp
+    from pointcloud_segmentation_tpu.ops.preproc import preprocess
+    from pointcloud_segmentation_tpu.ops.hough import extract_lines
+
+    clouds = np.full((batch, cfg.shapes.max_raw_points, 3), np.nan, np.float32)
+    for i, fr in enumerate(frames[:batch]):
+        clouds[i, : len(fr.points)] = fr.points
+    cj = jnp.asarray(clouds)
+
+    def one(raw):
+        f, v, _ = preprocess(raw, cfg)
+        return extract_lines(f, v, cfg).nlines
+
+    @jax.jit
+    def loop(x):
+        return jax.lax.fori_loop(
+            0, reps, lambda i, acc: acc + jax.vmap(one)(cj + acc * 0).sum(),
+            jnp.int32(0))
+
+    _ = int(loop(jnp.int32(0)))
+    t0 = time.perf_counter()
+    _ = int(loop(jnp.int32(0)))
+    dt = (time.perf_counter() - t0) / (reps * batch)
+    return {"ms_per_cloud": dt * 1e3, "clouds_per_sec": 1.0 / dt,
+            "batch": batch}
+
+
+def build_tower_frames(cfg, n_frames):
+    from pointcloud_segmentation_tpu.io.scene import (
+        tower_scene, spiral_waypoints, trajectory_poses)
+    from pointcloud_segmentation_tpu.io.simulator import simulate_trajectory, TofSpec
+
+    scene = tower_scene(levels=2, width=1.0)
+    poses = trajectory_poses(
+        spiral_waypoints(radius=1.8, z0=0.5, z1=2.0, turns=1.0, n=24),
+        hz=4.0, velocity=0.4)
+    while len(poses) < n_frames:
+        poses = poses + poses
+    return simulate_trajectory(scene, poses[:n_frames], TofSpec(noise_frac=0.002),
+                               seed=0)
+
+
 def main():
     from pointcloud_segmentation_tpu.config import default_config, StaticShapes
 
     granularity = int(os.environ.get("BENCH_GRANULARITY", "4"))
     n_frames = int(os.environ.get("BENCH_FRAMES", "40"))
     n_oracle = int(os.environ.get("BENCH_ORACLE_FRAMES", "12"))
+    mode = os.environ.get("BENCH_CONFIG", "node")
+    profile_dir = os.environ.get("BENCH_PROFILE", "")
 
     cfg = default_config(
         granularity=granularity,
@@ -139,11 +212,44 @@ def main():
     import jax
 
     log(f"devices: {jax.devices()}")
-    tpu = bench_tpu(cfg, frames)
+
+    details = {}
+    if mode == "all":
+        details["standalone_hough_g4"] = bench_standalone_hough(cfg, frames)
+        log(f"standalone hough g4: {details['standalone_hough_g4']}")
+        sweep = {}
+        for r2l, minv in ((1.5, 12), (2.0, 12), (1.5, 24)):
+            c = cfg.replace(rad_2_leaf_ratio=r2l, opt_minvotes=minv)
+            sweep[f"r2l={r2l},minvotes={minv}"] = bench_standalone_hough(
+                c, build_frames(c, 2), iters=10)
+        details["preproc_hough_sweep"] = sweep
+        log(f"preproc+hough sweep: {sweep}")
+        tower = build_tower_frames(cfg, n_frames)
+        details["tower_replay"] = bench_tpu(cfg, tower)
+        log(f"tower replay: {details['tower_replay']}")
+        details["batched_g4"] = bench_batched(cfg, frames)
+        log(f"batched g4: {details['batched_g4']}")
+        cfg6 = cfg.replace(granularity=6)
+        details["stress_g6"] = bench_standalone_hough(cfg6, frames, iters=4)
+        log(f"stress g6: {details['stress_g6']}")
+
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            tpu = bench_tpu(cfg, frames)
+    else:
+        tpu = bench_tpu(cfg, frames)
     log(f"tpu: {tpu}")
 
     cpu = bench_oracle(cfg, frames[:n_oracle])
     log(f"cpu oracle: {cpu}")
+
+    if details:
+        details["node_loop"] = tpu
+        details["cpu_oracle"] = cpu
+        path = os.environ.get("BENCH_DETAILS", "bench_details.json")
+        with open(path, "w") as f:
+            json.dump(details, f, indent=2)
+        log(f"details -> {path}")
 
     vs = tpu["clouds_per_sec"] / cpu["clouds_per_sec"]
     print(json.dumps({

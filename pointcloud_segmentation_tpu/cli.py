@@ -128,6 +128,39 @@ def cmd_eval(args) -> int:
     return 0 if rep["n_truth_matched"] else 1
 
 
+def cmd_inspect(args) -> int:
+    """Compile the per-frame step and print XLA cost analysis (FLOPs/bytes)
+    plus shape/capacity facts — the profiling/observability hook."""
+    import jax
+    import jax.numpy as jnp
+    from .pipeline import process_frame, init_world
+
+    cfg = _build_cfg(args)
+    raw = jnp.zeros((cfg.shapes.max_raw_points, 3), jnp.float32)
+    pos = jnp.zeros(3, jnp.float32)
+    quat = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
+
+    def fn(state, raw, pos, quat):
+        return process_frame(state, raw, pos, quat, cfg)
+
+    lowered = jax.jit(fn).lower(init_world(cfg), raw, pos, quat)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis() or {}
+    info = {
+        "backend": jax.default_backend(),
+        "granularity": cfg.granularity,
+        "num_directions": cfg.num_directions,
+        "num_x_max": cfg.num_x_max,
+        "max_points": cfg.shapes.max_points,
+        "max_world_segments": cfg.shapes.max_world_segments,
+        "flops": cost.get("flops"),
+        "bytes_accessed": cost.get("bytes accessed"),
+        "output_bytes": cost.get("bytes accessed output {}"),
+    }
+    print(json.dumps({k: v for k, v in info.items() if v is not None}, indent=2))
+    return 0
+
+
 def cmd_timing(args) -> int:
     from .eval import load_processing_time_csv, summarize
 
@@ -177,6 +210,10 @@ def main(argv=None) -> int:
     pe.add_argument("--distance-threshold", type=float, default=0.5)
     pe.add_argument("--plots", action="store_true")
     pe.set_defaults(fn=cmd_eval)
+
+    pi = sub.add_parser("inspect", help="XLA cost analysis of the compiled step")
+    _add_common(pi)
+    pi.set_defaults(fn=cmd_inspect)
 
     pt = sub.add_parser("timing", help="analyze a processing_time.csv")
     pt.add_argument("processing_time_csv")

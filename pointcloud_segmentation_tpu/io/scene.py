@@ -97,6 +97,46 @@ def scene_truth(scene: Sequence[Cylinder]) -> List[dict]:
     return [c.as_truth() for c in scene]
 
 
+def tower_scene(levels: int = 3, width: float = 1.0,
+                level_height: float = 0.8, radius: float = 0.05,
+                z0: float = 0.0) -> Tuple[Cylinder, ...]:
+    """A lattice-tower scene: 4 vertical corner posts + horizontal cross
+    beams per level (the `flying_arena_ros_obs_tower.wbt` whole-structure
+    mapping scenario, whose STL mesh is missing from the snapshot)."""
+    h = levels * level_height
+    half = width / 2.0
+    beams: List[Cylinder] = []
+    corners = [(-half, -half), (half, -half), (half, half), (-half, half)]
+    for (x, y) in corners:
+        beams.append(Cylinder((x, y, z0 + h / 2), (0.0, 0.0, 1.0), radius, h))
+    for lv in range(1, levels + 1):
+        z = z0 + lv * level_height
+        beams.append(Cylinder((0.0, -half, z), (1.0, 0.0, 0.0), radius, width))
+        beams.append(Cylinder((0.0, half, z), (1.0, 0.0, 0.0), radius, width))
+        beams.append(Cylinder((-half, 0.0, z), (0.0, 1.0, 0.0), radius, width))
+        beams.append(Cylinder((half, 0.0, z), (0.0, 1.0, 0.0), radius, width))
+    return tuple(beams)
+
+
+def spiral_waypoints(radius: float = 2.0, z0: float = 0.3, z1: float = 2.5,
+                     turns: float = 1.5, n: int = 40,
+                     duration: float = 4.0) -> Tuple[Tuple[float, ...], ...]:
+    """An orbiting-climb waypoint path facing the structure center — the
+    wp_tower.csv flight pattern (53 waypoints climbing the tower)."""
+    import numpy as _np
+
+    wps = []
+    for k in range(n):
+        frac = k / max(n - 1, 1)
+        ang = 2 * _np.pi * turns * frac
+        x = radius * _np.cos(ang)
+        y = radius * _np.sin(ang)
+        z = z0 + (z1 - z0) * frac
+        yaw = float(_np.arctan2(-y, -x))  # face the center
+        wps.append((float(x), float(y), float(z), yaw, duration))
+    return tuple(wps)
+
+
 # --------------------------------------------------------------------------
 # Waypoint trajectories (config_auto_pilot/wp_*.csv schema: x,y,z,yaw,duration)
 # --------------------------------------------------------------------------
@@ -147,11 +187,12 @@ def trajectory_poses(waypoints: Sequence[Sequence[float]], hz: float = 5.0,
         yaw = float(wp[3])
         dist = float(np.linalg.norm(target - prev))
         steps = max(int(np.ceil(dist / velocity * hz)), 1)
+        dyaw = (yaw - prev_yaw + np.pi) % (2 * np.pi) - np.pi  # shortest arc
         for k in range(1, steps + 1):
             frac = k / steps
             t += 1.0 / hz
             pos = prev + frac * (target - prev)
-            yw = prev_yaw + frac * (yaw - prev_yaw)
+            yw = prev_yaw + frac * dyaw
             poses.append((t, pos, yaw_to_quat_wxyz(yw)))
-        prev, prev_yaw = target, yaw
+        prev, prev_yaw = target, prev_yaw + dyaw
     return poses
