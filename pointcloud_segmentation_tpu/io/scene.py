@@ -97,6 +97,36 @@ def scene_truth(scene: Sequence[Cylinder]) -> List[dict]:
     return [c.as_truth() for c in scene]
 
 
+def parse_wbt_scene(path: str) -> Tuple[Cylinder, ...]:
+    """Extract the `DEF SEGn Solid` ground-truth cylinders from a Webots
+    world file — the file-level equivalent of tests_structure.py:10-31's
+    live scene-graph walk (Webots Cylinder defaults: height 2, radius 1)."""
+    import re
+
+    text = open(path).read()
+    beams = []
+    i = 1
+    while True:
+        m = re.search(rf"DEF SEG{i} Solid\s*{{", text)
+        if not m:
+            break
+        # take the block up to the next DEF or EOF (flat enough for .wbt)
+        nxt = re.search(rf"DEF SEG{i + 1} Solid", text)
+        block = text[m.start(): nxt.start() if nxt else len(text)]
+        tr = re.search(r"translation\s+(\S+)\s+(\S+)\s+(\S+)", block)
+        rot = re.search(r"rotation\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)", block)
+        rad = re.search(r"radius\s+(\S+)", block)
+        hgt = re.search(r"height\s+(\S+)", block)
+        translation = tuple(float(v) for v in tr.groups()) if tr else (0.0, 0.0, 0.0)
+        rotation = (tuple(float(v) for v in rot.groups())
+                    if rot else (0.0, 0.0, 1.0, 0.0))
+        beams.append(_cyl(translation, rotation,
+                          radius=float(rad.group(1)) if rad else 1.0,
+                          height=float(hgt.group(1)) if hgt else 2.0))
+        i += 1
+    return tuple(beams)
+
+
 def tower_scene(levels: int = 3, width: float = 1.0,
                 level_height: float = 0.8, radius: float = 0.05,
                 z0: float = 0.0) -> Tuple[Cylinder, ...]:

@@ -246,7 +246,9 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
     shift = jnp.where(count_in > 0, (p_min + p_max) / 2.0, jnp.zeros(3))
     Xs = jnp.where(valid[:, None], pts - shift, 0.0)
 
-    precheck_fail = (count_in == 0) | (d == 0.0) | (dx >= d)
+    degenerate = (count_in == 0) | (d == 0.0)          # STATUS_DEGENERATE
+    dx_too_large = ~degenerate & (dx >= d)             # STATUS_DX_TOO_LARGE
+    precheck_fail = degenerate | dx_too_large
     num_x = jnp.maximum(jnp.floor(d / dx + 0.5).astype(jnp.int32), 1)
 
     xi_bins, yi_bins = _vote_bins(Xs, c1, c2, d, dx, num_x)
@@ -396,7 +398,10 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
 
     # frame abort (b.x == 0): keep earlier segments, report 0 lines (h:276-279)
     nlines = jnp.where(final.fail, 0, final.nlines)
-    status = (precheck_fail | final.fail).astype(jnp.int32)
+    # explicit failure taxonomy, shared with oracle.pipeline.STATUS_*
+    status = jnp.where(degenerate, 1,
+                       jnp.where(dx_too_large, 2,
+                                 jnp.where(final.fail, 3, 0))).astype(jnp.int32)
     return HoughResult(segments=final.segs, nlines=nlines, status=status)
 
 

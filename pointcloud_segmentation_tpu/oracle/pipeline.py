@@ -262,14 +262,22 @@ def points_close_to_line(pts: np.ndarray, a: np.ndarray, b: np.ndarray,
 # Iterative Hough line extraction (hough_3d_lines.h:167-349)
 # --------------------------------------------------------------------------
 
+STATUS_OK = 0
+STATUS_DEGENERATE = 1      # empty cloud / all points identical (h:202)
+STATUS_DX_TOO_LARGE = 2    # opt_dx >= cloud diagonal (h:209)
+STATUS_BX_ZERO = 3         # find_t failure: refined b.x == 0 (h:43-45, 276-279)
+
+
 def hough3dlines(points: np.ndarray, cfg: PipelineConfig,
                  max_iters: Optional[int] = None) -> Tuple[List[Segment], int, int]:
     """Extract line segments from one (already pre-filtered) cloud.
 
-    Returns (segments, nblines_extracted, status); status != 0 mirrors the
-    reference's abort paths (d == 0 at h:202, dx >= d at h:209, b.x == 0 at
-    h:276-279 — the last keeps already-extracted segments and reports 0
-    lines, matching the caller's untouched counter at node.cpp:293).
+    Returns (segments, nblines_extracted, status).  The reference collapses
+    every abort path into a single nonzero return; the rebuild keeps an
+    explicit taxonomy (STATUS_*) so callers can tell sensor dropouts from
+    parameter errors — the failure-detection upgrade called out in
+    SURVEY.md §5.  STATUS_BX_ZERO keeps already-extracted segments and
+    reports 0 lines, matching the caller's untouched counter at node.cpp:293.
     """
     # NaN/Inf scrub (h:175-189)
     finite = np.isfinite(points).all(axis=1)
@@ -278,14 +286,14 @@ def hough3dlines(points: np.ndarray, cfg: PipelineConfig,
     segments: List[Segment] = []
     nlines = 0
     if len(X) == 0:
-        return segments, 0, 1
+        return segments, 0, STATUS_DEGENERATE
 
     minP, maxP = X.min(axis=0), X.max(axis=0)
     d = float(np.linalg.norm(maxP - minP))
     if d == 0.0:
-        return segments, 0, 1                     # "All points identical"
+        return segments, 0, STATUS_DEGENERATE    # "All points identical"
     if cfg.opt_dx >= d:
-        return segments, 0, 1                     # "dx too large"
+        return segments, 0, STATUS_DX_TOO_LARGE  # "dx too large"
 
     shift = (minP + maxP) / 2.0                   # shiftToOrigin (h:206)
     Xs = X - shift
@@ -327,7 +335,7 @@ def hough3dlines(points: np.ndarray, cfg: PipelineConfig,
         proj = geometry.find_proj(a[None, :], b[None, :], pts)
         p_radius = np.linalg.norm(proj - pts, axis=1)
         if b[0] == 0.0:                           # find_t failure (h:43-45)
-            return segments, 0, 1
+            return segments, 0, STATUS_BX_ZERO
         t = (proj[:, 0] - a[0]) / b[0]
 
         # sorted-t ordering; gap check uses ||a + t*b|| over that order

@@ -119,10 +119,10 @@ def test_degenerate_parity():
     padded, valid = pad(np.zeros((0, 3), np.float32), cfg.shapes.max_points)
     res = extract_lines_jit(jnp.asarray(padded), jnp.asarray(valid), cfg)
     assert int(res.status) == 1 and int(res.nlines) == 0
-    # two nearly-coincident points: dx >= d
+    # two nearly-coincident points: dx >= d -> STATUS_DX_TOO_LARGE
     tiny = np.array([[0, 0, 0], [0.001, 0, 0]], np.float32)
     (_, _, ref_status), res = run_both(tiny, cfg)
-    assert ref_status == 1 and int(res.status) == 1
+    assert ref_status == 2 and int(res.status) == 2
 
 
 def test_minvotes_gate_parity():

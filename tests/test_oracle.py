@@ -140,10 +140,10 @@ def test_hough_degenerate_inputs():
     nans = np.full((8, 3), np.nan)
     segs, nlines, status = oracle.hough3dlines(nans, cfg)
     assert status == 1
-    # tiny extent (opt_dx >= d) -> status 1 (h:209)
+    # tiny extent (opt_dx >= d) -> STATUS_DX_TOO_LARGE (h:209)
     tiny = np.array([[0.0, 0.0, 0.0], [0.001, 0.0, 0.0]])
     segs, nlines, status = oracle.hough3dlines(tiny, cfg)
-    assert status == 1
+    assert status == oracle.pipeline.STATUS_DX_TOO_LARGE
 
 
 def test_hough_pca_gate_rejects_blob(rng):

@@ -80,3 +80,28 @@ def test_trajectory_poses_and_sim():
     assert len(frames) == 3
     assert frames[0].points.shape == (4096, 3)
     assert frames[0].points.dtype == np.float32
+
+
+def test_parse_wbt_matches_transcribed_scene():
+    # the parser applied to the reference's own benchmark world reproduces
+    # the transcribed fixture exactly
+    from pointcloud_segmentation_tpu.io.scene import parse_wbt_scene
+
+    parsed = parse_wbt_scene(
+        "/root/reference/webots_project/worlds/flying_arena_ros_obs_tests.wbt")
+    assert len(parsed) == len(OBS_TESTS_SCENE) == 7
+    for p, t in zip(parsed, OBS_TESTS_SCENE):
+        np.testing.assert_allclose(p.center, t.center, atol=1e-12)
+        np.testing.assert_allclose(p.axis, t.axis, atol=1e-9)
+        assert p.radius == t.radius == 0.05
+        assert p.height == t.height == 2.0
+
+
+def test_parse_wbt_dev_world_has_no_labeled_truth():
+    # the development world's 9 beams carry no DEF SEGn labels (only the
+    # benchmark world is machine-readable — same as tests_structure.py)
+    from pointcloud_segmentation_tpu.io.scene import parse_wbt_scene
+
+    parsed = parse_wbt_scene(
+        "/root/reference/webots_project/worlds/flying_arena_ros_obs.wbt")
+    assert parsed == ()
