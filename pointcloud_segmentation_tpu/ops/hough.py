@@ -4,17 +4,14 @@ TPU-first redesign of the reference's iterative Hough transform
 (hough_3d_lines.h:167-349 plus the missing submodule's accumulator contract,
 SURVEY.md §2.3).  Key departures from the CPU design:
 
-* **No mutable accumulator.**  The reference allocates a (B, num_x, num_x)
-  vote array, adds all points, and incrementally subtracts extracted lines'
-  inliers (h:228, 241).  That invariant means the accumulator always equals
-  the votes of the *currently active* points, so we recompute the winning
-  cell each round from a masked point set — no scatter, no giant carried
-  state.
-* **Vote cells via broadcasted FMAs, mode via row-sort.**  Each (direction,
-  point) pair yields one cell id; the per-direction mode is found by sorting
-  each direction's row of cell keys and taking the longest run.  Sorting is
-  O(B*N log^2 N) VPU work with no data-dependent shapes; the argmax
-  tie-break (lexicographically smallest (b, xi, yi)) matches the oracle.
+* **Scatter-free accumulator on the MXU.**  The reference's (B, num_x,
+  num_x) vote array with add/subtract bookkeeping (h:228, 241) maps to TPU
+  as exact one-hot matmul histograms: the accumulator is built once per
+  frame (bf16 one-hots, f32 accumulation — integer-exact), carried through
+  the loop, and each extracted line's inliers are subtracted as a compacted
+  delta histogram.  The global argmax runs two-stage (row max, then within
+  the winning row) with the first-max tie-break == lexicographically
+  smallest (b, xi, yi), matching the oracle.
 * **Fixed-capacity everything.**  The do/while over extracted lines
   (h:237-342) becomes a ``lax.while_loop`` with masks; early exits become
   carried stop/fail flags with identical semantics (including the reference's
@@ -175,6 +172,24 @@ def _vote_histogram(xi, yi, active, num_x_static):
     return votes.reshape(B, num_x_static, num_x_static)
 
 
+_SUB_CHUNK = 512  # removed-point columns for the incremental-subtract matmul
+
+
+def _vote_histogram_delta(xi, yi, idx, take, num_x_static):
+    """Histogram of a compacted subset of points (columns `idx`, masked by
+    `take`): the incremental `Hough::subtract` contribution.  idx is (R,),
+    take (R,) bool; cost scales with R instead of N."""
+    xt = jnp.take(xi, idx, axis=1)                       # (B, R)
+    yt = jnp.take(yi, idx, axis=1)
+    xt = jnp.where(take[None, :], xt, num_x_static)      # masked -> zero row
+    x_iota = jax.lax.broadcasted_iota(jnp.int32, (num_x_static, 1), 0)
+    X1 = (xt[:, None, :] == x_iota[None, :, :]).astype(jnp.bfloat16)
+    Y1 = (yt[:, :, None] == x_iota[None, :, :].transpose(0, 2, 1)
+          ).astype(jnp.bfloat16)
+    return jnp.einsum("bxn,bny->bxy", X1, Y1,
+                      preferred_element_type=jnp.float32)
+
+
 def _pad_dirs_to_tile(dirs, c1, c2):
     """Pad the direction table to a _VOTE_TILE multiple with copies of
     direction 0.  A duplicate direction reproduces direction 0's counts and
@@ -190,6 +205,7 @@ def _pad_dirs_to_tile(dirs, c1, c2):
 class _LoopState(NamedTuple):
     it: jnp.ndarray
     active: jnp.ndarray
+    votes: jnp.ndarray        # carried (B, NX, NX) accumulator = hist(active)
     nlines: jnp.ndarray
     nout: jnp.ndarray
     stop: jnp.ndarray
@@ -267,18 +283,19 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
         return c
 
     def body(s: _LoopState) -> _LoopState:
-        # ---- voting: exact histogram over active points, global argmax ----
-        if use_pallas:
-            from .voting_pallas import vote_histogram_pallas
-
-            xi_m = jnp.where(s.active[None, :], xi_bins, num_x_static)
-            votes = vote_histogram_pallas(xi_m, yi_bins, num_x_static)
-        else:
-            votes = _vote_histogram(xi_bins, yi_bins, s.active, num_x_static)
-        flat_votes = votes.reshape(-1)
-        M = flat_votes.max()
-        # first argmax == lexicographically smallest (direction, xi, yi)
-        winner = jnp.argmax(flat_votes).astype(jnp.int32) + dir_offset * cells
+        # ---- voting: carried accumulator (== hist of active), global argmax.
+        # The reference's add-once / subtract-removed invariant (h:228, 241)
+        # holds: s.votes always equals the active points' histogram.
+        # Two-stage argmax (2D row reduce, then within the winning row) is
+        # lane-efficient and keeps the first-max == smallest (b, xi, yi)
+        # tie-break: argmax picks the first row with the global max, then
+        # the first max cell within it.
+        vr = s.votes.reshape(B, cells)
+        row_max = vr.max(axis=1)
+        M = row_max.max()
+        b_win = jnp.argmax(row_max == M).astype(jnp.int32)
+        cell_win = jnp.argmax(vr[b_win] == M).astype(jnp.int32)
+        winner = (b_win + dir_offset) * cells + cell_win
         if dir_axis is not None:
             M_g = jax.lax.pmax(M, dir_axis)
             winner = jnp.where(M == M_g, winner, jnp.iinfo(jnp.int32).max)
@@ -378,9 +395,32 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
             valid=upd(segs.valid, True),
         )
 
+        # Incremental subtract (the reference's Hough::subtract, h:241) as
+        # ONE 3-way branch (extra conds would copy the (B, NX, NX) carry):
+        # 0 = loop ending, keep; 1 = subtract the removed points' compacted
+        # histogram (typical: a line removes a few hundred points);
+        # 2 = rare spill (> _SUB_CHUNK removed): recompute from the next
+        # active set.  Both give exactly hist(active').
+        n_rem = m2.sum().astype(jnp.int32)
+        order = jnp.argsort(~m2, stable=True)
+        idx = order[:_SUB_CHUNK]
+        take = jnp.arange(_SUB_CHUNK, dtype=jnp.int32) < n_rem
+        active_next = s.active & ~m2
+        branch = jnp.where(proceed,
+                           jnp.where(n_rem <= _SUB_CHUNK, 1, 2), 0)
+        votes_next = jax.lax.switch(
+            branch,
+            [lambda v: v,
+             lambda v: v - _vote_histogram_delta(xi_bins, yi_bins, idx, take,
+                                                 num_x_static),
+             lambda v: _vote_histogram(xi_bins, yi_bins, active_next,
+                                       num_x_static)],
+            s.votes)
+
         return _LoopState(
             it=s.it + 1,
-            active=jnp.where(proceed, s.active & ~m2, s.active),
+            active=jnp.where(proceed, active_next, s.active),
+            votes=votes_next,
             nlines=s.nlines + ok3.astype(jnp.int32),   # counts gate failures (h:259)
             nout=s.nout + write.astype(jnp.int32),
             stop=s.stop | ~proceed,
@@ -388,8 +428,17 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
             segs=segs,
         )
 
+    active0 = valid & ~precheck_fail
+    if use_pallas:
+        from .voting_pallas import vote_histogram_pallas
+
+        xi_m = jnp.where(active0[None, :], xi_bins, num_x_static)
+        votes0 = vote_histogram_pallas(xi_m, yi_bins, num_x_static)
+    else:
+        votes0 = _vote_histogram(xi_bins, yi_bins, active0, num_x_static)
+
     init = _LoopState(
-        it=jnp.int32(0), active=valid & ~precheck_fail,
+        it=jnp.int32(0), active=active0, votes=votes0,
         nlines=jnp.int32(0), nout=jnp.int32(0),
         stop=precheck_fail, fail=jnp.array(False),
         segs=empty_segments(L, N))

@@ -191,7 +191,12 @@ def fuse_frame(state: WorldState, segs: SegmentBatch, cfg: PipelineConfig):
         count = count + can_append.astype(jnp.int32)
         return (upd, count, modified, new_flags, slots)
 
-    new, count, modified, new_flags, slots = jax.lax.fori_loop(0, L, body, carry)
+    # Unrolled: L is small (opt_nlines, <= ~24) and each step is tiny, so
+    # unrolling lets XLA fuse across steps instead of paying per-iteration
+    # loop overhead.
+    for i in range(L):
+        carry = body(i, carry)
+    new, count, modified, new_flags, slots = carry
     valid = old_valid | new_flags
     return new, count, valid, modified, new_flags, slots
 
