@@ -158,7 +158,11 @@ def test_engine_streaming_latest_wins(replay_frames):
     eng.start()
     for fr in replay_frames:
         eng.submit_cloud(fr.t, fr.points)  # faster than processing -> drops
-    time.sleep(1.5)
+    # wait (generously, for loaded CI machines) until the worker consumed
+    # at least one frame
+    deadline = time.time() + 60.0
+    while eng.frames_processed < 1 and time.time() < deadline:
+        time.sleep(0.1)
     eng.stop()
     assert eng.frames_processed >= 1
     # drops + processed covers all frames
