@@ -401,13 +401,14 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
         # histogram (typical: a line removes a few hundred points);
         # 2 = rare spill (> _SUB_CHUNK removed): recompute from the next
         # active set.  Both give exactly hist(active').
+        sub_chunk = min(_SUB_CHUNK, N)
         n_rem = m2.sum().astype(jnp.int32)
         order = jnp.argsort(~m2, stable=True)
-        idx = order[:_SUB_CHUNK]
-        take = jnp.arange(_SUB_CHUNK, dtype=jnp.int32) < n_rem
+        idx = order[:sub_chunk]
+        take = jnp.arange(sub_chunk, dtype=jnp.int32) < n_rem
         active_next = s.active & ~m2
         branch = jnp.where(proceed,
-                           jnp.where(n_rem <= _SUB_CHUNK, 1, 2), 0)
+                           jnp.where(n_rem <= sub_chunk, 1, 2), 0)
         votes_next = jax.lax.switch(
             branch,
             [lambda v: v,

@@ -113,3 +113,37 @@ def test_segment_capacity_respected():
     assert ref_nlines <= 3
     assert int(np.asarray(res.segments.valid).sum()) <= 3
     assert int(res.nlines) == ref_nlines
+
+
+def test_small_point_capacity_regression():
+    """max_points < _SUB_CHUNK must compile and run (the multichip dryrun
+    uses tiny shapes; regression for the compacted-subtract slice bound)."""
+    cfg = default_config(
+        granularity=1, opt_minvotes=5, min_pca_coeff=0.9,
+        shapes=StaticShapes(max_raw_points=256, max_points=128))
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 1.2, 100)
+    pts = (np.array([0.3, -0.4, 0.6]) + t[:, None] * np.array([0.0, 1.0, 0.2])
+           + rng.normal(0, 0.004, (100, 3))).astype(np.float32)
+    (ref_segs, ref_nlines, _), res = run_both(pts, cfg)
+    assert int(res.nlines) == ref_nlines
+    assert int(np.asarray(res.segments.valid).sum()) == len(ref_segs)
+
+
+def test_granularity_zero_antipodal_dirs():
+    """g=0 keeps the raw 12 icosahedron vertices (antipodal pairs included,
+    matching the published count table) — extraction still works."""
+    cfg = default_config(
+        granularity=0, opt_minvotes=8, min_pca_coeff=0.9,
+        shapes=StaticShapes(max_raw_points=1024, max_points=512))
+    rng = np.random.default_rng(1)
+    t = np.linspace(0, 1.4, 250)
+    # align with an icosahedron vertex direction for a clean g0 catch
+    from pointcloud_segmentation_tpu.sphere import directions
+    b0 = directions(0)[3]
+    pts = (np.array([0.4, 0.0, 0.8]) + t[:, None] * b0
+           + rng.normal(0, 0.004, (250, 3))).astype(np.float32)
+    (ref_segs, ref_nlines, _), res = run_both(pts, cfg)
+    assert int(res.nlines) == ref_nlines
+    assert int(np.asarray(res.segments.valid).sum()) == len(ref_segs)
+    assert len(ref_segs) >= 1
