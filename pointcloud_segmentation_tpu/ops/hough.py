@@ -175,13 +175,23 @@ def _vote_histogram(xi, yi, active, num_x_static):
 _SUB_CHUNK = 512  # removed-point columns for the incremental-subtract matmul
 
 
-def _vote_histogram_delta(xi, yi, idx, take, num_x_static):
-    """Histogram of a compacted subset of points (columns `idx`, masked by
-    `take`): the incremental `Hough::subtract` contribution.  idx is (R,),
-    take (R,) bool; cost scales with R instead of N."""
-    xt = jnp.take(xi, idx, axis=1)                       # (B, R)
-    yt = jnp.take(yi, idx, axis=1)
-    xt = jnp.where(take[None, :], xt, num_x_static)      # masked -> zero row
+def _vote_histogram_delta(xi, yi, removed, n_rem, sub_chunk, num_x_static):
+    """Histogram of the removed points, compacted to `sub_chunk` columns —
+    the incremental `Hough::subtract` contribution.
+
+    Compaction runs as a one-hot selection matmul on the MXU (an argsort +
+    two axis-1 gathers cost ~1.5 ms on TPU; this is ~50 us): bin values are
+    < 256 so they survive a bf16 round-trip exactly.
+    """
+    pos = jnp.cumsum(removed.astype(jnp.int32)) - 1
+    pos = jnp.where(removed, pos, sub_chunk)             # excluded -> no column
+    r_iota = jnp.arange(sub_chunk, dtype=jnp.int32)
+    Sel = (pos[:, None] == r_iota[None, :]).astype(jnp.bfloat16)   # (N, R)
+    xt = jnp.einsum("bn,nr->br", xi.astype(jnp.bfloat16), Sel,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    yt = jnp.einsum("bn,nr->br", yi.astype(jnp.bfloat16), Sel,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    xt = jnp.where(r_iota[None, :] < n_rem, xt, num_x_static)  # empty columns
     x_iota = jax.lax.broadcasted_iota(jnp.int32, (num_x_static, 1), 0)
     X1 = (xt[:, None, :] == x_iota[None, :, :]).astype(jnp.bfloat16)
     Y1 = (yt[:, :, None] == x_iota[None, :, :].transpose(0, 2, 1)
@@ -345,20 +355,30 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
         bx_zero = bc[0] == 0.0                        # find_t failure (h:43-45)
         t = (proj[:, 0] - a_w[0]) / jnp.where(bx_zero, 1.0, bc[0])
 
+        # Gap check over t-sorted order WITHOUT a sort: a 2048-element sort
+        # costs ~0.5 ms on TPU, but stable ranks are one (N, N) pairwise
+        # pass on the VPU, and the max adjacent-|delta pn| only needs the
+        # successor relation rank_j == rank_i + 1.
         tv = jnp.where(m2, t, jnp.inf)
-        ts = jnp.sort(tv)
-        pn = jnp.sqrt(((a_w[None, :] + ts[:, None] * bc[None, :]) ** 2).sum(-1))
-        gaps = jnp.abs(pn[1:] - pn[:-1])
-        gap_valid = jnp.arange(N - 1) < (nv - 1)
-        max_gap = jnp.where(gap_valid, gaps, -jnp.inf).max()
-        max_gap = jnp.where(nv > 1, max_gap, 0.0)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+        col_j = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+        before = (tv[None, :] < tv[:, None]) | (
+            (tv[None, :] == tv[:, None]) & (col_j < row_i))
+        rank = before.sum(axis=1).astype(jnp.int32)      # stable rank in t
+        pn_all = jnp.sqrt(((a_w[None, :] + t[:, None] * bc[None, :]) ** 2).sum(-1))
+        succ = (rank[None, :] == rank[:, None] + 1) & m2[:, None] & m2[None, :]
+        gap_mat = jnp.where(succ, jnp.abs(pn_all[None, :] - pn_all[:, None]),
+                            -jnp.inf)
+        max_gap = jnp.where(nv > 1, gap_mat.max(), 0.0)
 
         ifirst = jnp.argmax(m2)
         ilast = N - 1 - jnp.argmax(m2[::-1])
         radius = jnp.maximum(prad[ifirst], prad[ilast])
 
-        t_min = ts[0]
-        t_max = ts[jnp.maximum(nv - 1, 0)]
+        t_min = jnp.where(m2, t, jnp.inf).min()
+        t_max = jnp.where(m2, t, -jnp.inf).max()
+        t_min = jnp.where(nv > 0, t_min, 0.0)
+        t_max = jnp.where(nv > 0, t_max, 0.0)
 
         # ---- acceptance gates (h:295-322) ----
         diffs = jnp.abs(radius - rs)
@@ -402,18 +422,15 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
         # 2 = rare spill (> _SUB_CHUNK removed): recompute from the next
         # active set.  Both give exactly hist(active').
         sub_chunk = min(_SUB_CHUNK, N)
-        n_rem = m2.sum().astype(jnp.int32)
-        order = jnp.argsort(~m2, stable=True)
-        idx = order[:sub_chunk]
-        take = jnp.arange(sub_chunk, dtype=jnp.int32) < n_rem
+        n_rem = nv
         active_next = s.active & ~m2
         branch = jnp.where(proceed,
                            jnp.where(n_rem <= sub_chunk, 1, 2), 0)
         votes_next = jax.lax.switch(
             branch,
             [lambda v: v,
-             lambda v: v - _vote_histogram_delta(xi_bins, yi_bins, idx, take,
-                                                 num_x_static),
+             lambda v: v - _vote_histogram_delta(xi_bins, yi_bins, m2, n_rem,
+                                                 sub_chunk, num_x_static),
              lambda v: _vote_histogram(xi_bins, yi_bins, active_next,
                                        num_x_static)],
             s.votes)
