@@ -24,8 +24,8 @@ from pointcloud_segmentation_tpu import viz
 def main(out_dir: str = "./tower_output") -> int:
     scene = tower_scene(levels=2, width=1.0)
     poses = trajectory_poses(
-        spiral_waypoints(radius=1.6, z0=0.5, z1=2.2, turns=1.25, n=24),
-        hz=3.0, velocity=0.3)
+        spiral_waypoints(radius=1.2, z0=0.4, z1=2.2, turns=2.0, n=40),
+        hz=3.0, velocity=0.2)
     print(f"simulating {len(poses)} ToF frames over a "
           f"{len(scene)}-beam tower ...")
     frames = simulate_trajectory(scene, poses, TofSpec(noise_frac=0.002), seed=0)

@@ -128,6 +128,47 @@ def make_multichip_step(cfg: PipelineConfig, mesh: Mesh):
     return step
 
 
+def make_tp_process_frame(cfg: PipelineConfig, mesh: Mesh):
+    """Single-frame, direction-tensor-parallel process_frame.
+
+    The full per-frame pipeline with the direction sphere sharded over the
+    mesh's 'dir' axis (cloud + world state replicated): the latency lever
+    for granularity 6, where a single chip spends ~80 ms on 20,481
+    directions.  Signature matches pipeline.make_process_frame.
+    """
+    from ..worldmap import world_step
+    from ..pipeline import FrameOutput
+
+    n_dir = mesh.shape["dir"]
+    dirs, c1, c2 = _padded_dir_tables(cfg, n_dir)
+    dir_axis = "dir" if n_dir > 1 else None
+
+    def body(state, raw, pos, quat, dirs, c1, c2):
+        filtered, fvalid, fcount = preprocess(raw, cfg)
+        res = extract_lines(filtered, fvalid, cfg,
+                            dir_tables=(dirs, c1, c2), dir_axis=dir_axis)
+        segs = transform_segments(res.segments, pos, quat)
+        segs = height_cutoff(segs, cfg.floor_trim_height)
+        state, slots = world_step(state, segs, cfg)
+        out = FrameOutput(filtered=filtered, filtered_valid=fvalid,
+                          filtered_count=fcount, segments=segs, slots=slots,
+                          nlines=res.nlines, status=res.status,
+                          world_count=state.count)
+        return state, out
+
+    smapped = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("dir"), P("dir"), P("dir")),
+        out_specs=(P(), P()),
+        check_vma=False)
+
+    @jax.jit
+    def step(state, raw, pos, quat):
+        return smapped(state, raw, pos, quat, dirs, c1, c2)
+
+    return step
+
+
 def make_batched_extract(cfg: PipelineConfig, mesh: Mesh):
     """Data-parallel standalone extraction: frames sharded over 'batch',
     returning every frame's SegmentBatch (the throughput benchmark path)."""

@@ -102,3 +102,23 @@ def test_dir_sharding_parity_with_unsharded():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(r1[0].b)[v1], np.asarray(r2[0].b)[v2],
                                atol=1e-5)
+
+
+def test_tp_process_frame_matches_single_device():
+    """Direction-TP single-frame pipeline == plain pipeline, incl. world map."""
+    from pointcloud_segmentation_tpu.parallel.sharding import make_tp_process_frame
+
+    mesh = make_mesh(n_batch=1, n_dir=8)
+    frames, clouds, poss, quats = make_frames(4)
+    step_tp = make_tp_process_frame(CFG, mesh)
+    st = init_world(CFG)
+    for i in range(4):
+        st, out = step_tp(st, jnp.asarray(clouds[i]), jnp.asarray(poss[i]),
+                          jnp.asarray(quats[i]))
+    ref = run_single_device(frames)
+    assert int(st.count) == int(ref.count)
+    n = int(ref.count)
+    np.testing.assert_allclose(np.asarray(st.a)[:n], np.asarray(ref.a)[:n],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.b)[:n], np.asarray(ref.b)[:n],
+                               atol=1e-5)
