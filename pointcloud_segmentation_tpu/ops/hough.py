@@ -25,7 +25,7 @@ oracle/pipeline.py HoughSpace.
 
 from __future__ import annotations
 
-import math
+
 from functools import partial
 from typing import NamedTuple
 

@@ -1,3 +1,9 @@
-from .sharding import make_mesh, make_multichip_step, make_batched_extract
+from .sharding import (
+    make_mesh,
+    make_multichip_step,
+    make_batched_extract,
+    make_tp_process_frame,
+)
 
-__all__ = ["make_mesh", "make_multichip_step", "make_batched_extract"]
+__all__ = ["make_mesh", "make_multichip_step", "make_batched_extract",
+           "make_tp_process_frame"]

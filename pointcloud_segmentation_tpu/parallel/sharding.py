@@ -22,7 +22,7 @@ Everything rides jax.sharding + shard_map; XLA inserts the ICI collectives.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Optional
 
 import jax
@@ -36,7 +36,7 @@ from ..sphere import hough_space
 from ..ops.preproc import preprocess
 from ..ops.hough import extract_lines, SegmentBatch
 from ..pipeline import transform_segments, height_cutoff
-from ..worldmap import WorldState, init_world, world_step
+from ..worldmap import world_step
 
 
 def make_mesh(n_batch: Optional[int] = None, n_dir: int = 1,

@@ -187,3 +187,16 @@ def test_engine_visualization(replay_frames):
     assert len(viz["segment_texts"]) == len(viz["cylinders"])
     if eng.world_segments():
         assert "hough_points" in viz
+
+
+def test_engine_pipelined_replay(replay_frames):
+    eng = SegmentationEngine(CFG, backend="jax")
+    recs = eng.run_replay(replay_frames, pipelined=True)
+    assert len(recs) == len(replay_frames)
+    # counters backfilled after the single sync
+    assert all(r["seg_vec_size"] >= 0 for r in recs)
+    assert all(r["nblines"] >= 0 for r in recs)
+    # same world map as the synchronous path
+    eng2 = SegmentationEngine(CFG, backend="jax")
+    eng2.run_replay(replay_frames)
+    assert len(eng.world_segments()) == len(eng2.world_segments())
