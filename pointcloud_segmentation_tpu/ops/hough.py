@@ -62,7 +62,8 @@ class SegmentBatch(NamedTuple):
 class HoughResult(NamedTuple):
     segments: SegmentBatch
     nlines: jnp.ndarray       # int32 — nblines_extracted (0 on frame abort)
-    status: jnp.ndarray       # int32 — 0 ok, 1 = reference's abort paths
+    status: jnp.ndarray       # int32 STATUS_* taxonomy (oracle/pipeline.py):
+                              # 0 ok, 1 degenerate, 2 dx>=d, 3 b.x==0 abort
 
 
 def empty_segments(L: int, N: int, dtype=jnp.float32) -> SegmentBatch:
