@@ -74,3 +74,44 @@ if __name__ == "__main__":
         segs = run("oracle")
         write_segments_csv(FIXTURE, segs)
         print(f"wrote {len(segs)} segments -> {FIXTURE}")
+
+
+INTER_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                             "golden_intersections.csv")
+
+
+def run_intersections(backend):
+    eng_cls = SegmentationEngine
+    eng = eng_cls(CFG, backend=backend)
+    eng.run_replay(golden_frames())
+    return eng.intersections_rows()
+
+
+def test_intersections_fixture_exists():
+    assert os.path.exists(INTER_FIXTURE)
+
+
+def test_oracle_reproduces_golden_intersections():
+    rows = run_intersections("oracle")
+    with open(INTER_FIXTURE) as f:
+        header = f.readline().strip()
+        assert header == "seg1,t1,seg2,t2"
+        golden = [ln.strip().split(",") for ln in f if ln.strip()]
+    assert len(rows) == len(golden)
+    for (i, t1, j, t2), g in zip(rows, golden):
+        assert i == int(g[0]) and j == int(g[2])
+        assert abs(t1 - float(g[1])) < 1e-4
+        assert abs(t2 - float(g[3])) < 1e-4
+
+
+def test_jax_matches_golden_intersection_topology():
+    rows = run_intersections("jax")
+    with open(INTER_FIXTURE) as f:
+        f.readline()
+        golden = [ln.strip().split(",") for ln in f if ln.strip()]
+    assert {(r[0], r[2]) for r in rows} == {(int(g[0]), int(g[2])) for g in golden}
+    # t-parameters within float32-pipeline tolerance
+    gmap = {(int(g[0]), int(g[2])): (float(g[1]), float(g[3])) for g in golden}
+    for (i, t1, j, t2) in rows:
+        g1, g2 = gmap[(i, j)]
+        assert abs(t1 - g1) < 5e-2 and abs(t2 - g2) < 5e-2
