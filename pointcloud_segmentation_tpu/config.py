@@ -76,6 +76,12 @@ class PipelineConfig:
     # --- TPU-native additions ---
     shapes: StaticShapes = dataclasses.field(default_factory=StaticShapes)
     window_size: float = WINDOW_FILTERING_SIZE
+    # Parity mode: "float64" runs the device pipeline in f64 (requires
+    # jax_enable_x64; CPU-oriented — TPUs emulate f64 slowly), keeping the
+    # oracle's deliberate f32 stages (vote binning, cell decode, scatter
+    # eigensolves — reference h:129 MatrixXf) pinned to f32.  The perf
+    # default is full-f32.
+    compute_dtype: str = "float32"
     # Pallas fused voting kernel (ops/voting_pallas.py): opt-in.  Measured on
     # v5e the XLA batched-einsum histogram currently schedules better than
     # the per-direction kernel (12.5 vs 28 ms/frame at granularity 4), so
@@ -91,6 +97,8 @@ class PipelineConfig:
             raise ValueError("granularity must be in [0, 6]")
         if self.rad_2_leaf_ratio <= 0:
             raise ValueError("rad_2_leaf_ratio must be positive")
+        if self.compute_dtype not in ("float32", "float64"):
+            raise ValueError("compute_dtype must be 'float32' or 'float64'")
 
     # Derived parameters (reference: node.cpp:241-243).  Note the reference
     # takes min(first, last) of radius_sizes, not the global min — reproduced.

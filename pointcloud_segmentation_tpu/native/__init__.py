@@ -98,6 +98,11 @@ class NativeMailbox:
             return None
         raw = self._buf.raw[: min(n, self._cap)]
         t, npts = struct.unpack_from("<dI", raw, 0)
+        # An oversized frame is truncated to the buffer by pcs_mailbox_take
+        # but the header's npts is intact — clamp to the bytes actually
+        # copied (overflow points drop, like _pad_raw) instead of letting
+        # np.frombuffer raise and kill the consumer thread.
+        npts = min(npts, (len(raw) - 12) // 12)
         pts = np.frombuffer(raw, dtype=np.float32, count=npts * 3,
                             offset=12).reshape(npts, 3).copy()
         return (t, pts)

@@ -77,7 +77,7 @@ def empty_segments(L: int, N: int, dtype=jnp.float32) -> SegmentBatch:
 
 
 def _masked_minmax(points, valid):
-    big = jnp.float32(jnp.inf)
+    big = jnp.asarray(jnp.inf, points.dtype)
     p_min = jnp.min(jnp.where(valid[:, None], points, big), axis=0)
     p_max = jnp.max(jnp.where(valid[:, None], points, -big), axis=0)
     return p_min, p_max
@@ -92,25 +92,33 @@ def _line_distance2(pts, a, b_unit):
 
 def _masked_lsq(pts, mask):
     """Orthogonal LSQ over masked points (h:121-150): returns
-    (rc = largest scatter eigenvalue, anchor=centroid, unit direction)."""
-    m = mask.astype(pts.dtype)
+    (rc = largest scatter eigenvalue, anchor=centroid, unit direction).
+
+    The scatter eigensolve runs in f32 REGARDLESS of the pipeline dtype —
+    the reference computes it in float32 (h:129 MatrixXf) and the oracle
+    reproduces that; the anchor centroid follows the input dtype.
+    """
+    dt = pts.dtype
+    m = mask.astype(dt)
     cnt = jnp.maximum(m.sum(), 1.0)
     mean = (pts * m[:, None]).sum(0) / cnt
-    c = jnp.where(mask[:, None], pts - mean, 0.0)
+    c = jnp.where(mask[:, None], pts - mean, 0.0).astype(jnp.float32)
     scatter = jnp.dot(c.T, c, precision=_HIGH)
     rc, bvec = principal_eigenvector3(scatter)
-    return rc, mean, bvec
+    return rc.astype(dt), mean, bvec.astype(dt)
 
 
 def _masked_cov_eigs(pts, mask):
-    """Descending covariance eigenvalues over masked points (segPCA, h:94-110)."""
-    m = mask.astype(pts.dtype)
+    """Descending covariance eigenvalues over masked points (segPCA,
+    h:94-110).  f32 like the reference's PCL PCA (see _masked_lsq)."""
+    dt = pts.dtype
+    m = mask.astype(dt)
     cnt = jnp.maximum(m.sum(), 1.0)
     mean = (pts * m[:, None]).sum(0) / cnt
-    c = jnp.where(mask[:, None], pts - mean, 0.0)
-    denom = jnp.maximum(cnt - 1.0, 1.0)
+    c = jnp.where(mask[:, None], pts - mean, 0.0).astype(jnp.float32)
+    denom = jnp.maximum(cnt.astype(jnp.float32) - 1.0, 1.0)
     cov = jnp.dot(c.T, c, precision=_HIGH) / denom
-    return eigvalsh3(cov)
+    return eigvalsh3(cov).astype(dt)
 
 
 def _canonical_sign(b):
@@ -125,8 +133,14 @@ def _canonical_sign(b):
 def _vote_bins(Xs, c1, c2, d, dx, num_x):
     """(B, N) int32 xi and yi accumulator bins.
 
-    Float32 binning with fixed association order, matching the oracle's spec.
+    Float32 binning with fixed association order, matching the oracle's spec
+    (oracle HoughSpace.bin_indices) — inputs are cast to f32 here so the
+    f64 parity mode bins identically.
     """
+    Xs = Xs.astype(jnp.float32)
+    c1 = c1.astype(jnp.float32)
+    c2 = c2.astype(jnp.float32)
+    dx = dx.astype(jnp.float32)
     x0, x1, x2 = Xs[:, 0][None, :], Xs[:, 1][None, :], Xs[:, 2][None, :]
     xp = (c1[:, 0:1] * x0 + c1[:, 1:2] * x1) + c1[:, 2:3] * x2   # (B, N)
     yp = (c2[:, 0:1] * x0 + c2[:, 1:2] * x1) + c2[:, 2:3] * x2
@@ -176,22 +190,26 @@ def _vote_histogram(xi, yi, active, num_x_static):
 _SUB_CHUNK = 512  # removed-point columns for the incremental-subtract matmul
 
 
-def _vote_histogram_delta(xi, yi, removed, n_rem, sub_chunk, num_x_static):
+def _vote_histogram_delta(Xs, c1, c2, d, dx, num_x, removed, n_rem,
+                          sub_chunk, num_x_static):
     """Histogram of the removed points, compacted to `sub_chunk` columns —
     the incremental `Hough::subtract` contribution.
 
-    Compaction runs as a one-hot selection matmul on the MXU (an argsort +
-    two axis-1 gathers cost ~1.5 ms on TPU; this is ~50 us): bin values are
-    < 256 so they survive a bf16 round-trip exactly.
+    Compaction gathers the removed *points* into `sub_chunk` rows (exact
+    int32 scatter-built permutation) and re-bins just those rows with the
+    same f32 expression as `_vote_bins` — bit-identical bins at any
+    num_x.  (A bf16 value-compaction matmul here silently corrupts bins
+    >= 256, which valid configs reach — e.g. radius_sizes=(0.015,); and it
+    costs B*N*R MXU flops vs B*3*R for re-binning the gathered rows.)
     """
+    N = removed.shape[0]
     pos = jnp.cumsum(removed.astype(jnp.int32)) - 1
-    pos = jnp.where(removed, pos, sub_chunk)             # excluded -> no column
+    pos = jnp.where(removed, pos, sub_chunk)             # excluded -> sentinel
+    perm = jnp.zeros((sub_chunk + 1,), jnp.int32).at[pos].set(
+        jnp.arange(N, dtype=jnp.int32))[:sub_chunk]
     r_iota = jnp.arange(sub_chunk, dtype=jnp.int32)
-    Sel = (pos[:, None] == r_iota[None, :]).astype(jnp.bfloat16)   # (N, R)
-    xt = jnp.einsum("bn,nr->br", xi.astype(jnp.bfloat16), Sel,
-                    preferred_element_type=jnp.float32).astype(jnp.int32)
-    yt = jnp.einsum("bn,nr->br", yi.astype(jnp.bfloat16), Sel,
-                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    Xr = jnp.take(Xs, perm, axis=0)                      # (R, 3)
+    xt, yt = _vote_bins(Xr, c1, c2, d, dx, num_x)        # (B, R)
     xt = jnp.where(r_iota[None, :] < n_rem, xt, num_x_static)  # empty columns
     x_iota = jax.lax.broadcasted_iota(jnp.int32, (num_x_static, 1), 0)
     X1 = (xt[:, None, :] == x_iota[None, :, :]).astype(jnp.bfloat16)
@@ -288,7 +306,12 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
         2.0 / (cfg.rad_2_leaf_ratio * (2 * cfg.diag_voxel) ** 2))
 
     def cond(s: _LoopState):
-        c = (~s.stop) & (s.active.sum() > 1) & (s.it < cfg.shapes.max_iters)
+        # With opt_nlines > 0 every iteration either increments nlines or
+        # sets stop, so opt_nlines + 1 is itself a static bound — do not let
+        # shapes.max_iters silently truncate configs with opt_nlines > 24.
+        it_bound = (max(cfg.shapes.max_iters, cfg.opt_nlines + 1)
+                    if cfg.opt_nlines > 0 else cfg.shapes.max_iters)
+        c = (~s.stop) & (s.active.sum() > 1) & (s.it < it_bound)
         if cfg.opt_nlines > 0:
             c = c & (s.nlines < cfg.opt_nlines)
         return c
@@ -430,8 +453,9 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
         votes_next = jax.lax.switch(
             branch,
             [lambda v: v,
-             lambda v: v - _vote_histogram_delta(xi_bins, yi_bins, m2, n_rem,
-                                                 sub_chunk, num_x_static),
+             lambda v: v - _vote_histogram_delta(Xs, c1, c2, d, dx, num_x,
+                                                 m2, n_rem, sub_chunk,
+                                                 num_x_static),
              lambda v: _vote_histogram(xi_bins, yi_bins, active_next,
                                        num_x_static)],
             s.votes)

@@ -45,7 +45,16 @@ def make_mesh(n_batch: Optional[int] = None, n_dir: int = 1,
     devices = devices if devices is not None else jax.devices()
     if n_batch is None:
         n_batch = len(devices) // n_dir
-    devs = np.array(devices[: n_batch * n_dir]).reshape(n_batch, n_dir)
+    need = n_batch * n_dir
+    if len(devices) < need or need == 0:
+        plat = devices[0].platform if devices else "none"
+        raise ValueError(
+            f"make_mesh: need {n_batch}x{n_dir}={need} devices, have "
+            f"{len(devices)} ({plat}). For a virtual CPU mesh set "
+            f"JAX_PLATFORMS=cpu and XLA_FLAGS="
+            f"--xla_force_host_platform_device_count=<n> before importing "
+            f"jax (see tests/conftest.py / __graft_entry__.py).")
+    devs = np.array(devices[:need]).reshape(n_batch, n_dir)
     return Mesh(devs, axis_names=("batch", "dir"))
 
 
@@ -150,10 +159,11 @@ def make_tp_process_frame(cfg: PipelineConfig, mesh: Mesh):
         segs = transform_segments(res.segments, pos, quat)
         segs = height_cutoff(segs, cfg.floor_trim_height)
         state, slots = world_step(state, segs, cfg)
+        overflow = (segs.valid & (slots == -1)).sum().astype(jnp.int32)
         out = FrameOutput(filtered=filtered, filtered_valid=fvalid,
                           filtered_count=fcount, segments=segs, slots=slots,
                           nlines=res.nlines, status=res.status,
-                          world_count=state.count)
+                          world_count=state.count, overflow=overflow)
         return state, out
 
     smapped = shard_map(

@@ -32,6 +32,9 @@ class FrameOutput(NamedTuple):
     nlines: jnp.ndarray          # int32 nblines_extracted
     status: jnp.ndarray          # int32 (0 ok; 1 = hough abort, node.cpp:294)
     world_count: jnp.ndarray     # int32 `seg_vec_size` column
+    overflow: jnp.ndarray        # int32 valid segments dropped because the
+                                 # world map hit max_world_segments (D-CAP —
+                                 # the reference's vector grows unbounded)
 
 
 def rotation_from_quat(quat_wxyz: jnp.ndarray) -> jnp.ndarray:
@@ -68,10 +71,11 @@ def process_frame(state: WorldState, raw_points: jnp.ndarray,
 
     state, slots = world_step(state, segs, cfg)
 
+    overflow = (segs.valid & (slots == -1)).sum().astype(jnp.int32)
     out = FrameOutput(
         filtered=filtered, filtered_valid=fvalid, filtered_count=fcount,
         segments=segs, slots=slots, nlines=hough.nlines, status=hough.status,
-        world_count=state.count)
+        world_count=state.count, overflow=overflow)
     return state, out
 
 

@@ -48,6 +48,9 @@ class SegmentationEngine:
         self.records: List[dict] = []
         self.frames_processed = 0
         self.frames_skipped_no_pose = 0
+        self.frames_failed = 0          # streaming frames that raised
+        self.world_overflow_frames = 0  # frames that dropped segments at
+                                        # max_world_segments capacity (D-CAP)
         self.collect_inlier_points = collect_inlier_points
         self.checkpoint_every = checkpoint_every
         self.checkpoint_path = checkpoint_path
@@ -170,6 +173,13 @@ class SegmentationEngine:
             "nlines": int(out.nlines),
             "status": int(out.status),
         }
+        overflow = int(out.overflow)
+        if overflow:
+            self.world_overflow_frames += 1
+            logger.warning(
+                "world map full (max_world_segments=%d): dropped %d "
+                "segment(s) this frame (D-CAP)",
+                self.cfg.shapes.max_world_segments, overflow)
         if self.collect_inlier_points:
             self._collect_points_jax(out, position, quat)
         return info
@@ -222,7 +232,7 @@ class SegmentationEngine:
         if self._program_start is None:
             self._program_start = self._now()
         out = []
-        last = None
+        counters = []   # per-frame (world_count, nlines) scalar device handles
         for fr in frames:
             self.push_pose(fr.t, fr.position, fr.quat_wxyz)
             pose = self.poses.lookup(fr.t)
@@ -232,31 +242,32 @@ class SegmentationEngine:
             position, quat = pose
             start = self._now()
             raw = jnp.asarray(self._pad_raw(fr.points))
-            self._state, last = self._step(
+            self._state, fout = self._step(
                 self._state, raw, jnp.asarray(position, jnp.float32),
                 jnp.asarray(quat, jnp.float32))
             end = self._now()
+            # keep only the two scalar counters on device: per-frame values
+            # are read back truthfully in ONE batched sync below, so the
+            # pipelined CSV matches the synchronous replay column-for-column
+            counters.append((fout.world_count, fout.nlines))
             rec = {
                 "wall_time": (end - self._program_start) * 1e6,
                 "processing_time": (end - start) * 1e6,
-                # per-frame counters need a device sync; backfilled with the
-                # final frame's values after the single sync below
                 "seg_vec_size": -1,
                 "nblines": -1,
             }
             self.records.append(rec)
             out.append(rec)
             self.frames_processed += 1
-        if last is not None:
+        if counters:
             t0 = self._now()
-            wc = int(last.world_count)       # single device sync
+            stacked = jnp.stack([jnp.stack(c) for c in counters])
+            vals = np.asarray(stacked)      # single device sync
             sync_us = (self._now() - t0) * 1e6
-            nl = int(last.nlines)
-            for rec in out:
-                rec["seg_vec_size"] = wc
-                rec["nblines"] = max(nl, 0)
-            if out:
-                out[-1]["processing_time"] += sync_us
+            for rec, (wc, nl) in zip(out, vals):
+                rec["seg_vec_size"] = int(wc)
+                rec["nblines"] = max(int(nl), 0)
+            out[-1]["processing_time"] += sync_us
         return out
 
     # ---------------------------------------------------------------- streaming
@@ -270,12 +281,20 @@ class SegmentationEngine:
         self._worker.start()
 
     def _worker_loop(self) -> None:
+        # A processing error must not silently kill the consumer thread (the
+        # reference's worker dies on the first TF failure, node.cpp:281-283 —
+        # a quirk this runtime deliberately fixes; skip-and-continue applies
+        # to unexpected exceptions too).
         while self._running:
             item = self.mailbox.take(timeout=0.1)
             if item is None:
                 continue
             t, points = item
-            self.process_frame(t, points)
+            try:
+                self.process_frame(t, points)
+            except Exception:
+                self.frames_failed += 1
+                logger.exception("frame at t=%s failed; worker continues", t)
 
     def stop(self) -> None:
         self._running = False

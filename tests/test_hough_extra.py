@@ -147,3 +147,81 @@ def test_granularity_zero_antipodal_dirs():
     assert int(res.nlines) == ref_nlines
     assert int(np.asarray(res.segments.valid).sum()) == len(ref_segs)
     assert len(ref_segs) >= 1
+
+
+def test_delta_histogram_exact_at_large_num_x():
+    """Hough::subtract delta vs full-histogram difference, bit-exact at
+    num_x > 256 (regression: a bf16 value-compaction matmul corrupted bins
+    >= 256 — ADVICE r1)."""
+    from pointcloud_segmentation_tpu.ops.hough import (
+        _vote_bins, _vote_histogram, _vote_histogram_delta)
+    from pointcloud_segmentation_tpu.sphere import hough_space
+
+    rng = np.random.default_rng(7)
+    N, NX = 512, 300
+    dirs, c1, c2 = hough_space(1)                       # 21 directions
+    c1 = jnp.asarray(c1, jnp.float32)
+    c2 = jnp.asarray(c2, jnp.float32)
+    d = jnp.float32(3.0)
+    dx = jnp.float32(3.0 / NX)                          # bins span [0, 300)
+    Xs = jnp.asarray(rng.uniform(-1.5, 1.5, (N, 3)), jnp.float32)
+    xi, yi = _vote_bins(Xs, c1, c2, d, dx, NX)
+    assert int(jnp.max(xi)) > 256, "test must exercise bins beyond bf16 ints"
+
+    active = jnp.asarray(rng.random(N) < 0.9)
+    removed = active & jnp.asarray(rng.random(N) < 0.3)
+    n_rem = removed.sum().astype(jnp.int32)
+    full = _vote_histogram(xi, yi, active, NX)
+    remaining = _vote_histogram(xi, yi, active & ~removed, NX)
+    delta = _vote_histogram_delta(Xs, c1, c2, d, dx, NX, removed, n_rem,
+                                  N, NX)
+    np.testing.assert_array_equal(np.asarray(full - delta),
+                                  np.asarray(remaining))
+
+
+def test_small_radius_num_x_gt_256_parity():
+    """End-to-end parity with the oracle at radius_sizes=(0.015,), where
+    num_x_max = 261 > 256: two beams force the incremental subtract to run
+    with large bin indices (regression for the bf16 compaction bug)."""
+    cfg = default_config(
+        granularity=2, opt_minvotes=12, min_pca_coeff=0.9, opt_nlines=5,
+        radius_sizes=(0.015,),
+        shapes=StaticShapes(max_raw_points=4096, max_points=2048))
+    assert cfg.num_x_max > 256
+    rng = np.random.default_rng(11)
+    clouds = []
+    for i, (a, b) in enumerate([
+            ([0.2, -0.6, 0.3], [0.1, 1.0, 0.2]),
+            ([0.8, 0.5, 1.1], [1.0, -0.2, 0.1])]):
+        t = np.linspace(0, 1.3, 400)
+        b = np.asarray(b) / np.linalg.norm(b)
+        clouds.append(np.asarray(a) + t[:, None] * b
+                      + rng.normal(0, 0.003, (400, 3)))
+    pts = np.concatenate(clouds).astype(np.float32)
+    (ref_segs, ref_nlines, _), res = run_both(pts, cfg)
+    assert int(res.nlines) == ref_nlines
+    assert int(np.asarray(res.segments.valid).sum()) == len(ref_segs)
+    assert len(ref_segs) >= 2
+
+
+def test_opt_nlines_above_max_iters_not_truncated():
+    """opt_nlines > shapes.max_iters must not be silently capped at
+    max_iters (ADVICE r1): a scene with more lines than max_iters extracts
+    up to opt_nlines, matching the oracle."""
+    cfg = default_config(
+        granularity=1, opt_minvotes=8, min_pca_coeff=0.8, opt_nlines=6,
+        shapes=StaticShapes(max_raw_points=4096, max_points=2048,
+                            max_iters=3))
+    rng = np.random.default_rng(5)
+    clouds = []
+    for i in range(5):
+        a = rng.uniform([-0.4, -0.8, 0.2], [0.8, 0.8, 1.4])
+        b = rng.normal(size=3)
+        b /= np.linalg.norm(b)
+        t = np.linspace(0, 1.2, 200)
+        clouds.append(a + t[:, None] * b + rng.normal(0, 0.004, (200, 3)))
+    pts = np.concatenate(clouds).astype(np.float32)
+    (ref_segs, ref_nlines, _), res = run_both(pts, cfg)
+    assert int(res.nlines) == ref_nlines
+    assert int(np.asarray(res.segments.valid).sum()) == len(ref_segs)
+    assert ref_nlines > 3  # the truncated bound would have stopped at 3

@@ -200,3 +200,74 @@ def test_engine_pipelined_replay(replay_frames):
     eng2 = SegmentationEngine(CFG, backend="jax")
     eng2.run_replay(replay_frames)
     assert len(eng.world_segments()) == len(eng2.world_segments())
+
+
+def test_engine_pipelined_records_match_synchronous(replay_frames):
+    """Pipelined replay must record TRUTHFUL per-frame counters — identical
+    seg_vec_size / nblines columns to a synchronous replay (round-1 backfill
+    wrote the final frame's values into every row)."""
+    eng_p = SegmentationEngine(CFG, backend="jax")
+    recs_p = eng_p.run_replay(replay_frames, pipelined=True)
+    eng_s = SegmentationEngine(CFG, backend="jax")
+    recs_s = eng_s.run_replay(replay_frames)
+    assert [r["seg_vec_size"] for r in recs_p] == [r["seg_vec_size"] for r in recs_s]
+    assert [r["nblines"] for r in recs_p] == [r["nblines"] for r in recs_s]
+
+
+def test_engine_worker_survives_poisoned_frame():
+    """A frame that raises must not kill the streaming worker (D-ERR):
+    the error is counted and later frames still process."""
+    eng = SegmentationEngine(CFG, backend="jax")
+    poses = trajectory_poses(WP_TESTS, hz=2.0, velocity=0.25)
+    frames = simulate_trajectory(OBS_TESTS_SCENE, poses[:2], TofSpec(), seed=0)
+    for fr in frames:
+        eng.push_pose(fr.t, fr.position, fr.quat_wxyz)
+
+    boom = {"armed": True}
+    orig = eng._process_jax
+
+    def exploding(points, position, quat):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("poisoned frame")
+        return orig(points, position, quat)
+
+    eng._process_jax = exploding
+    eng.start()
+    eng.submit_cloud(frames[0].t, frames[0].points)
+    deadline = time.time() + 60.0
+    while eng.frames_failed < 1 and time.time() < deadline:
+        time.sleep(0.05)
+    eng.submit_cloud(frames[1].t, frames[1].points)
+    deadline = time.time() + 60.0
+    while eng.frames_processed < 1 and time.time() < deadline:
+        time.sleep(0.05)
+    eng.stop()
+    assert eng.frames_failed == 1
+    assert eng.frames_processed >= 1
+
+
+def test_world_capacity_overflow_is_reported():
+    """Segments beyond max_world_segments are dropped with a counted
+    overflow (D-CAP), not silently."""
+    cfg = default_config(
+        granularity=1, opt_minvotes=8, min_pca_coeff=0.8, opt_nlines=4,
+        floor_trim_height=-10.0,
+        shapes=StaticShapes(max_raw_points=2048, max_points=1024,
+                            max_world_segments=2))
+    eng = SegmentationEngine(cfg, backend="jax")
+    rng = np.random.default_rng(3)
+    # 4 well-separated beams in one frame -> 2 fit, 2 overflow
+    clouds = []
+    for i in range(4):
+        a = np.array([0.2 + 0.35 * i, -0.7, 0.4])  # inside the crop window
+        b = np.array([0.0, 1.0, 0.15 * (i + 1)])
+        b /= np.linalg.norm(b)
+        t = np.linspace(0, 1.2, 200)
+        clouds.append(a + t[:, None] * b + rng.normal(0, 0.004, (200, 3)))
+    pts = np.concatenate(clouds).astype(np.float32)
+    eng.push_pose(0.0, np.zeros(3), np.array([1.0, 0, 0, 0]))
+    rec = eng.process_frame(0.0, pts)
+    assert rec is not None
+    assert rec["seg_vec_size"] == 2
+    assert eng.world_overflow_frames == 1
