@@ -32,6 +32,8 @@ def main(out_dir: str = "./tower_output") -> int:
 
     cfg = default_config(
         granularity=4, path_to_output=out_dir,
+        min_pca_coeff=0.99,  # report §5.2 benchmark value; the shipped
+                             # 0.995 rejects oblique beam views (~9/12)
         shapes=StaticShapes(max_raw_points=4096, max_points=2048,
                             max_world_segments=64))
     eng = SegmentationEngine(cfg, backend="jax")

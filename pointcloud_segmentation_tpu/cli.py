@@ -69,7 +69,8 @@ def cmd_run(args) -> int:
 
     cfg = _build_cfg(args)
     frames = _frames(args, cfg)
-    eng = SegmentationEngine(cfg, backend=args.backend)
+    eng = SegmentationEngine(cfg, backend=args.backend,
+                             viz_stream=args.viz_stream)
     eng.run_replay(frames)
     outdir = args.out or cfg.path_to_output
     paths = eng.finalize(outdir)
@@ -78,6 +79,8 @@ def cmd_run(args) -> int:
           f"{len(eng.intersections_rows())} intersections")
     for k, v in paths.items():
         print(f"  {k}: {v}")
+    if args.viz_stream:
+        print(f"  viz stream: {args.viz_stream}")
     if args.plots:
         from . import viz
         from .eval import match_report
@@ -191,6 +194,9 @@ def main(argv=None) -> int:
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--max-frames", type=int, default=0)
     pr.add_argument("--plots", action="store_true")
+    pr.add_argument("--viz-stream", default=None, metavar="JSONL",
+                    help="write a per-frame marker stream (the RViz "
+                         "re-publish loop analog) to this JSONL file")
     pr.set_defaults(fn=cmd_run)
 
     pc = sub.add_parser("record", help="simulate + save a replay log")

@@ -81,6 +81,61 @@ OBS_TESTS_SCENE: Tuple[Cylinder, ...] = (
 )
 
 
+# The 9-beam development scene (flying_arena_ros_obs.wbt "solid(2..10)"
+# nodes: radius 0.1 m, Webots default cylinder height 2 m; solid(1) is a
+# vertical pole at z=6.89, far above the flight envelope, and is excluded
+# exactly as the report's §5.1 "9 beams" count does).  Flown with a
+# figure-eight trajectory in the reference (launch/trajectory.launch:4
+# `trajectory default="eight"`).
+OBS_DEV_SCENE: Tuple[Cylinder, ...] = (
+    _cyl((2.75375, 0.89336, 1.52202),
+         (0.7823670356685052, 0.2383310108656302, -0.5754130262333681,
+          -0.4186153071795866), radius=0.1),
+    _cyl((-2.45592, -0.45415, 1.2094),
+         (0.7823670356685052, 0.2383310108656302, -0.5754130262333681,
+          -0.4186153071795866), radius=0.1),
+    _cyl((-2.189, 0.93272, 1.30273),
+         (0.596377737329658, -0.10475895385966225, 0.7958386494785148,
+          0.32385), radius=0.1),
+    _cyl((-0.971105, 2.09014, 1.54241),
+         (0.596377737329658, -0.10475895385966225, 0.7958386494785148,
+          0.32385), radius=0.1),
+    _cyl((1.15464, 1.83805, 1.51149),
+         (0.596377737329658, -0.10475895385966225, 0.7958386494785148,
+          0.32385), radius=0.1),
+    _cyl((-1.52756, -2.84853, 1.11555),
+         (-0.5081508748422008, 0.8521297901200324, 0.1251299691804298,
+          0.791712), radius=0.1),
+    _cyl((-0.0203899, -1.82842, 2.92987),
+         (-0.5081508748422008, 0.8521297901200324, 0.1251299691804298,
+          0.791712), radius=0.1),
+    _cyl((2.03084, -1.93608, 1.63957),
+         (-0.16522405819258446, 0.97735434422817, -0.13221004656491542,
+          2.5301), radius=0.1),
+    _cyl((-0.619799, 1.9117, 1.48107),
+         (0.44078619725885604, 0.8971194014752457, 0.029737313307922165,
+          -1.7407453071795862), radius=0.1),
+)
+
+
+def figure_eight_waypoints(a: float = 1.8, z: float = 1.5, n: int = 48,
+                           duration: float = 4.0) -> Tuple[Tuple[float, ...], ...]:
+    """A lemniscate (figure-eight) waypoint loop at constant height — the
+    dev world's `trajectory:=eight` pattern (launch/trajectory.launch:4),
+    yaw following the direction of travel."""
+    import numpy as _np
+
+    ts = _np.linspace(0, 2 * _np.pi, n, endpoint=False)
+    xs = a * _np.sin(ts)
+    ys = a * _np.sin(ts) * _np.cos(ts)
+    wps = []
+    for k in range(n):
+        k2 = (k + 1) % n
+        yaw = float(_np.arctan2(ys[k2] - ys[k], xs[k2] - xs[k]))
+        wps.append((float(xs[k]), float(ys[k]), z, yaw, duration))
+    return tuple(wps)
+
+
 def simple_scene(n_beams: int = 3, radius: float = 0.05, seed: int = 0) -> Tuple[Cylinder, ...]:
     """A small randomized beam scene for property tests."""
     rng = np.random.default_rng(seed)

@@ -235,6 +235,10 @@ class _LoopState(NamedTuple):
     it: jnp.ndarray
     active: jnp.ndarray
     votes: jnp.ndarray        # carried (B, NX, NX) accumulator = hist(active)
+    row_max: jnp.ndarray      # carried (B,) per-direction max of `votes` —
+                              # avoids re-reading the whole accumulator for
+                              # the argmax each round (the row reduce fuses
+                              # into the subtract's single HBM pass instead)
     nlines: jnp.ndarray
     nout: jnp.ndarray
     stop: jnp.ndarray
@@ -265,13 +269,18 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
     """
     N = points.shape[0]
     L = cfg.max_lines
+    dt = points.dtype  # f32 (perf default) or f64 (parity mode)
     if dir_tables is None:
         dirs_np, c1_np, c2_np = hough_space(cfg.granularity)
-        dirs = jnp.asarray(dirs_np, jnp.float32)
+        # direction vectors follow the pipeline dtype (the oracle keeps its
+        # directions in f64); the c1/c2 binning bases are f32 BY SPEC
+        dirs = jnp.asarray(dirs_np, dt)
         c1 = jnp.asarray(c1_np, jnp.float32)
         c2 = jnp.asarray(c2_np, jnp.float32)
     else:
-        dirs, c1, c2 = (t.astype(jnp.float32) for t in dir_tables)
+        dirs, c1, c2 = dir_tables
+        dirs = dirs.astype(dt)
+        c1, c2 = c1.astype(jnp.float32), c2.astype(jnp.float32)
     dirs, c1, c2 = _pad_dirs_to_tile(dirs, c1, c2)
     B = dirs.shape[0]
     if dir_axis is not None:
@@ -279,16 +288,16 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
     else:
         dir_offset = jnp.int32(0)
     num_x_static = cfg.num_x_max
-    dx = jnp.float32(cfg.opt_dx)
-    dv = jnp.float32(cfg.diag_voxel)
+    dx = jnp.asarray(cfg.opt_dx, dt)
+    dv = jnp.asarray(cfg.diag_voxel, dt)
 
-    pts = points.astype(jnp.float32)
+    pts = points
     count_in = valid.sum()
     p_min, p_max = _masked_minmax(pts, valid)
     diag = p_max - p_min
     d = jnp.sqrt(jnp.maximum((diag * diag).sum(), 0.0))
     d = jnp.where(count_in > 0, d, 0.0)
-    shift = jnp.where(count_in > 0, (p_min + p_max) / 2.0, jnp.zeros(3))
+    shift = jnp.where(count_in > 0, (p_min + p_max) / 2.0, jnp.zeros(3, dt))
     Xs = jnp.where(valid[:, None], pts - shift, 0.0)
 
     degenerate = (count_in == 0) | (d == 0.0)          # STATUS_DEGENERATE
@@ -300,10 +309,10 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
     cells = num_x_static * num_x_static
     use_pallas = bool(cfg.use_pallas)  # None (auto) -> False; see config.py
 
-    rs = jnp.asarray(cfg.radius_sizes, jnp.float32)
-    rs_max = jnp.float32(max(cfg.radius_sizes))
-    min_nb_scale = jnp.float32(
-        2.0 / (cfg.rad_2_leaf_ratio * (2 * cfg.diag_voxel) ** 2))
+    rs = jnp.asarray(cfg.radius_sizes, dt)
+    rs_max = jnp.asarray(max(cfg.radius_sizes), dt)
+    min_nb_scale = jnp.asarray(
+        2.0 / (cfg.rad_2_leaf_ratio * (2 * cfg.diag_voxel) ** 2), dt)
 
     def cond(s: _LoopState):
         # With opt_nlines > 0 every iteration either increments nlines or
@@ -319,16 +328,17 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
     def body(s: _LoopState) -> _LoopState:
         # ---- voting: carried accumulator (== hist of active), global argmax.
         # The reference's add-once / subtract-removed invariant (h:228, 241)
-        # holds: s.votes always equals the active points' histogram.
-        # Two-stage argmax (2D row reduce, then within the winning row) is
-        # lane-efficient and keeps the first-max == smallest (b, xi, yi)
-        # tie-break: argmax picks the first row with the global max, then
-        # the first max cell within it.
-        vr = s.votes.reshape(B, cells)
-        row_max = vr.max(axis=1)
-        M = row_max.max()
-        b_win = jnp.argmax(row_max == M).astype(jnp.int32)
-        cell_win = jnp.argmax(vr[b_win] == M).astype(jnp.int32)
+        # holds: s.votes always equals the active points' histogram, and
+        # s.row_max its per-direction max (computed in the same HBM pass as
+        # the subtract below — the argmax here only touches the tiny (B,)
+        # carry plus ONE direction's row).  First-max tie-break == smallest
+        # (b, xi, yi): argmax picks the first direction with the global max,
+        # then the first max cell within it.
+        M = s.row_max.max()
+        b_win = jnp.argmax(s.row_max == M).astype(jnp.int32)
+        win_row = jax.lax.dynamic_index_in_dim(s.votes, b_win, axis=0,
+                                               keepdims=False)
+        cell_win = jnp.argmax(win_row.reshape(cells) == M).astype(jnp.int32)
         winner = (b_win + dir_offset) * cells + cell_win
         if dir_axis is not None:
             M_g = jax.lax.pmax(M, dir_axis)
@@ -337,21 +347,24 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
             M = M_g
         b_idx = winner // cells
         cell = winner % cells
+        # cell decode in f32 BY SPEC (oracle HoughSpace.get_line), result
+        # promoted to the pipeline dtype
         xi = (cell // num_x_static).astype(jnp.float32)
         yi = (cell % num_x_static).astype(jnp.float32)
         half = (d / 2.0).astype(jnp.float32)
-        xc = (xi + 0.5) * dx - half
-        yc = (yi + 0.5) * dx - half
+        dx32 = dx.astype(jnp.float32)
+        xc = (xi + 0.5) * dx32 - half
+        yc = (yi + 0.5) * dx32 - half
         b_loc = jnp.clip(b_idx - dir_offset, 0, B - 1)
         if dir_axis is not None:
             owns = (b_idx >= dir_offset) & (b_idx < dir_offset + B)
             ow = owns.astype(jnp.float32)
-            b0 = jax.lax.psum(dirs[b_loc] * ow, dir_axis)
+            b0 = jax.lax.psum(dirs[b_loc] * owns.astype(dt), dir_axis)
             c1row = jax.lax.psum(c1[b_loc] * ow, dir_axis)
             c2row = jax.lax.psum(c2[b_loc] * ow, dir_axis)
         else:
             b0, c1row, c2row = dirs[b_loc], c1[b_loc], c2[b_loc]
-        a0 = xc * c1row + yc * c2row
+        a0 = (xc * c1row + yc * c2row).astype(dt)
 
         # ---- refinement #1 (h:245-248) ----
         m1 = s.active & (_line_distance2(Xs, a0, b0) <= dx * dx)
@@ -444,26 +457,36 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
         # 0 = loop ending, keep; 1 = subtract the removed points' compacted
         # histogram (typical: a line removes a few hundred points);
         # 2 = rare spill (> _SUB_CHUNK removed): recompute from the next
-        # active set.  Both give exactly hist(active').
+        # active set.  Both give exactly hist(active').  The row_max
+        # reduce rides the same pass over the updated accumulator.
         sub_chunk = min(_SUB_CHUNK, N)
         n_rem = nv
         active_next = s.active & ~m2
         branch = jnp.where(proceed,
                            jnp.where(n_rem <= sub_chunk, 1, 2), 0)
-        votes_next = jax.lax.switch(
-            branch,
-            [lambda v: v,
-             lambda v: v - _vote_histogram_delta(Xs, c1, c2, d, dx, num_x,
-                                                 m2, n_rem, sub_chunk,
-                                                 num_x_static),
-             lambda v: _vote_histogram(xi_bins, yi_bins, active_next,
-                                       num_x_static)],
-            s.votes)
+
+        def _keep(args):
+            return args
+
+        def _subtract(args):
+            v, _ = args
+            vn = v - _vote_histogram_delta(Xs, c1, c2, d, dx, num_x,
+                                           m2, n_rem, sub_chunk,
+                                           num_x_static)
+            return vn, vn.max(axis=(1, 2))
+
+        def _rebuild(args):
+            vn = _vote_histogram(xi_bins, yi_bins, active_next, num_x_static)
+            return vn, vn.max(axis=(1, 2))
+
+        votes_next, row_max_next = jax.lax.switch(
+            branch, [_keep, _subtract, _rebuild], (s.votes, s.row_max))
 
         return _LoopState(
             it=s.it + 1,
             active=jnp.where(proceed, active_next, s.active),
             votes=votes_next,
+            row_max=row_max_next,
             nlines=s.nlines + ok3.astype(jnp.int32),   # counts gate failures (h:259)
             nout=s.nout + write.astype(jnp.int32),
             stop=s.stop | ~proceed,
@@ -482,9 +505,10 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
 
     init = _LoopState(
         it=jnp.int32(0), active=active0, votes=votes0,
+        row_max=votes0.max(axis=(1, 2)),
         nlines=jnp.int32(0), nout=jnp.int32(0),
         stop=precheck_fail, fail=jnp.array(False),
-        segs=empty_segments(L, N))
+        segs=empty_segments(L, N, dt))
 
     final = jax.lax.while_loop(cond, body, init)
 

@@ -53,7 +53,7 @@ def voxel_keys(points: jnp.ndarray, valid: jnp.ndarray,
                cfg: PipelineConfig) -> jnp.ndarray:
     """int32 sort key per point: linear voxel index, invalid -> +BIG."""
     lo, _, span = _grid_constants(cfg)
-    leaf = jnp.float32(cfg.leaf_size)
+    leaf = jnp.asarray(cfg.leaf_size, points.dtype)
     ijk = jnp.floor(points / leaf).astype(jnp.int32)
     ijk = jnp.clip(ijk - lo, 0, span - 1)
     key = (ijk[..., 2] * span + ijk[..., 1]) * span + ijk[..., 0]
@@ -95,7 +95,7 @@ def preprocess(points: jnp.ndarray, cfg: PipelineConfig
     group = jnp.where(valid_s, group, n_out)              # invalid -> dropped
 
     g_iota = jax.lax.broadcasted_iota(jnp.int32, (n_out, 1), 0)
-    onehot = (group[None, :] == g_iota).astype(jnp.float32)   # (n_out, N)
+    onehot = (group[None, :] == g_iota).astype(points.dtype)  # (n_out, N)
     sums = jnp.dot(onehot, pts_s, precision=jax.lax.Precision.HIGHEST)
     cnts = onehot.sum(axis=1)
 

@@ -59,10 +59,17 @@ def height_cutoff(segs: SegmentBatch, floor_trim_height: float) -> SegmentBatch:
     return segs._replace(valid=segs.valid & keep)
 
 
+def compute_dtype(cfg: PipelineConfig):
+    """The pipeline float dtype: f32 (perf default) or f64 (parity mode —
+    requires jax_enable_x64; the f32-by-spec stages stay f32, see config)."""
+    return jnp.float64 if cfg.compute_dtype == "float64" else jnp.float32
+
+
 def process_frame(state: WorldState, raw_points: jnp.ndarray,
                   position: jnp.ndarray, quat_wxyz: jnp.ndarray,
                   cfg: PipelineConfig) -> tuple[WorldState, FrameOutput]:
-    """One full frame.  raw_points: (N_raw, 3) float32, NaN = invalid return."""
+    """One full frame.  raw_points: (N_raw, 3), NaN = invalid return."""
+    raw_points = raw_points.astype(compute_dtype(cfg))
     filtered, fvalid, fcount = preprocess(raw_points, cfg)
     hough: HoughResult = extract_lines(filtered, fvalid, cfg)
 

@@ -40,7 +40,12 @@ class SegmentationEngine:
     def __init__(self, cfg: PipelineConfig, backend: str = "jax",
                  collect_inlier_points: bool = False,
                  checkpoint_every: int = 0,
-                 checkpoint_path: Optional[str] = None):
+                 checkpoint_path: Optional[str] = None,
+                 viz_stream: Optional[object] = None):
+        """viz_stream: per-frame visualization feed (the RViz re-publish
+        loop analog, node.cpp:676-842).  A str/path appends one JSON line
+        per processed frame (frame counters + the marker structures of
+        ``visualization()``); a callable receives the same dict instead."""
         self.cfg = cfg
         self.backend = backend
         self.poses = PoseBuffer()
@@ -55,6 +60,8 @@ class SegmentationEngine:
         self.checkpoint_every = checkpoint_every
         self.checkpoint_path = checkpoint_path
         self._inlier_points: dict[int, list[np.ndarray]] = {}
+        self._viz_stream = viz_stream
+        self._viz_file = None
         self._program_start: Optional[float] = None
         self._worker: Optional[threading.Thread] = None
         self._running = False
@@ -70,6 +77,13 @@ class SegmentationEngine:
 
             self._jnp = jnp
             self._jax = jax
+            self._npdt = (np.float64 if cfg.compute_dtype == "float64"
+                          else np.float32)
+            if cfg.compute_dtype == "float64" and not jax.config.jax_enable_x64:
+                raise ValueError(
+                    "compute_dtype='float64' needs jax_enable_x64 (set "
+                    "jax.config.update('jax_enable_x64', True) or run under "
+                    "jax.experimental.enable_x64())")
             self._step = make_process_frame(cfg)
             self._state = init_world(cfg)
         elif backend == "oracle":
@@ -150,13 +164,47 @@ class SegmentationEngine:
                 and self.frames_processed % self.checkpoint_every == 0):
             self.save_checkpoint(self.checkpoint_path)
 
+        if self._viz_stream is not None:
+            self._emit_viz_frame(t, info)
+
         record = dict(record, status=info["status"], t=t)
         return record
 
+    def _emit_viz_frame(self, t: float, info: dict) -> None:
+        """One per-frame visualization record — the node's every-frame
+        marker re-publish (node.cpp:676-842) as a JSONL stream/callback."""
+        viz = self.visualization()
+        rec = {
+            "frame": self.frames_processed,
+            "t": t,
+            "nlines": info["nlines"],
+            "status": info["status"],
+            "world_count": info["world_count"],
+            "cylinders": [
+                {"id": c["id"], "p1": [float(v) for v in c["p1"]],
+                 "p2": [float(v) for v in c["p2"]],
+                 "radius": float(c["radius"])}
+                for c in viz["cylinders"]],
+            "intersections": [
+                {"position": [float(v) for v in s["position"]],
+                 "text": s["text"]}
+                for s in viz["intersections"]],
+        }
+        if callable(self._viz_stream):
+            self._viz_stream(rec)
+            return
+        if self._viz_file is None:
+            parent = os.path.dirname(os.path.abspath(self._viz_stream))
+            os.makedirs(parent, exist_ok=True)
+            self._viz_file = open(self._viz_stream, "w")
+        self._viz_file.write(json.dumps(rec) + "\n")
+        self._viz_file.flush()
+
     def _pad_raw(self, points: np.ndarray) -> np.ndarray:
         n_raw = self.cfg.shapes.max_raw_points
-        pts = np.asarray(points, dtype=np.float32).reshape(-1, 3)
-        out = np.full((n_raw, 3), np.nan, dtype=np.float32)
+        dt = getattr(self, "_npdt", np.float32)
+        pts = np.asarray(points, dtype=dt).reshape(-1, 3)
+        out = np.full((n_raw, 3), np.nan, dtype=dt)
         k = min(len(pts), n_raw)
         out[:k] = pts[:k]
         return out
@@ -166,7 +214,7 @@ class SegmentationEngine:
         raw = jnp.asarray(self._pad_raw(points))
         self._state, out = self._step(
             self._state, raw,
-            jnp.asarray(position, jnp.float32), jnp.asarray(quat, jnp.float32))
+            jnp.asarray(position, self._npdt), jnp.asarray(quat, self._npdt))
         self._jax.block_until_ready(self._state)
         info = {
             "world_count": int(out.world_count),
@@ -243,8 +291,8 @@ class SegmentationEngine:
             start = self._now()
             raw = jnp.asarray(self._pad_raw(fr.points))
             self._state, fout = self._step(
-                self._state, raw, jnp.asarray(position, jnp.float32),
-                jnp.asarray(quat, jnp.float32))
+                self._state, raw, jnp.asarray(position, self._npdt),
+                jnp.asarray(quat, self._npdt))
             end = self._now()
             # keep only the two scalar counters on device: per-frame values
             # are read back truthfully in ONE batched sync below, so the
@@ -445,6 +493,9 @@ class SegmentationEngine:
 
     def finalize(self, outdir: Optional[str] = None) -> dict:
         """Write the three reference CSVs (the node-destructor flush)."""
+        if self._viz_file is not None:
+            self._viz_file.close()
+            self._viz_file = None
         outdir = csvio.ensure_outdir(outdir or self.cfg.path_to_output)
         paths = {
             "intersections": os.path.join(outdir, "intersections.csv"),

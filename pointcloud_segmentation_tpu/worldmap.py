@@ -53,7 +53,9 @@ class WorldState(NamedTuple):
         return self.a.shape[0]
 
 
-def init_world(cfg: PipelineConfig, dtype=jnp.float32) -> WorldState:
+def init_world(cfg: PipelineConfig, dtype=None) -> WorldState:
+    if dtype is None:
+        dtype = jnp.float64 if cfg.compute_dtype == "float64" else jnp.float32
     S = cfg.shapes.max_world_segments
     return WorldState(
         a=jnp.zeros((S, 3), dtype), b=jnp.zeros((S, 3), dtype),
@@ -94,9 +96,10 @@ def _similarity_one(cfg: PipelineConfig, d, w):
     cond1 = (dist1 < eps) & (dist2 < eps) & (d["radius"] == w["radius"])
 
     # D-WEIGHT: real-valued ratio
-    wt = d["points_size"].astype(jnp.float32) / jnp.maximum(
-        (w["points_size"] + d["points_size"]).astype(jnp.float32), 1.0)
-    wt = jnp.maximum(jnp.float32(cfg.min_weight), wt)
+    ft = w["pca_coeff"].dtype
+    wt = d["points_size"].astype(ft) / jnp.maximum(
+        (w["points_size"] + d["points_size"]).astype(ft), 1.0)
+    wt = jnp.maximum(jnp.asarray(cfg.min_weight, ft), wt)
     denom = w["pca_coeff"] * (1.0 - wt) + d["pca_coeff"] * wt
     coeff = (d["pca_coeff"] * wt) / jnp.where(denom != 0, denom, 1.0)
 
@@ -166,7 +169,7 @@ def fuse_frame(state: WorldState, segs: SegmentBatch, cfg: PipelineConfig):
         sim, fused = _similarity_one(cfg, d, old)   # match vs frame-start world
         sim = sim & old_valid
         found = sim.any() & dvalid
-        j = jnp.argmax(sim)
+        j = jnp.argmax(sim).astype(jnp.int32)
 
         # fuse in place at j
         def write_fused(arr, val):

@@ -271,3 +271,31 @@ def test_world_capacity_overflow_is_reported():
     assert rec is not None
     assert rec["seg_vec_size"] == 2
     assert eng.world_overflow_frames == 1
+
+
+def test_engine_viz_stream(replay_frames, tmp_path):
+    """Per-frame viz stream (the RViz re-publish loop analog): one JSON
+    line per processed frame, cumulative world map, final record matches
+    the end state."""
+    path = str(tmp_path / "viz.jsonl")
+    eng = SegmentationEngine(CFG, backend="jax", viz_stream=path)
+    eng.run_replay(replay_frames[:4])
+    eng.finalize(str(tmp_path))
+    import json as _json
+    with open(path) as f:
+        recs = [_json.loads(line) for line in f]
+    assert len(recs) == 4
+    assert [r["frame"] for r in recs] == [1, 2, 3, 4]
+    counts = [r["world_count"] for r in recs]
+    assert all(len(r["cylinders"]) == c for r, c in zip(recs, counts))
+    assert counts == sorted(counts)  # world map only grows in this replay
+    assert counts[-1] == len(eng.world_segments())
+    for c in recs[-1]["cylinders"]:
+        assert len(c["p1"]) == 3 and len(c["p2"]) == 3 and c["radius"] > 0
+
+
+def test_engine_viz_stream_callback(replay_frames):
+    got = []
+    eng = SegmentationEngine(CFG, backend="jax", viz_stream=got.append)
+    eng.run_replay(replay_frames[:2])
+    assert len(got) == 2 and got[0]["frame"] == 1

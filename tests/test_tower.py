@@ -35,13 +35,21 @@ def test_spiral_waypoints_schema():
 
 
 def test_tower_mapping_recall():
+    """Whole-structure recall gate on a properly-scaled flight.
+
+    Scenario scaling diagnosed in round 2: the orbit radius must keep the
+    tower's near face inside the 1.5 m forward crop window (1.2 m works;
+    1.8 m pushed everything to the crop boundary -> 2/12), and the pca gate
+    must use the report's benchmark value 0.99 (report §5.2 p.29 — the
+    shipped config's 0.995 rejects oblique beam views measuring 0.99-0.995
+    and caps recall at ~9/12).  Full budget (g4, 235 frames) maps 12/12."""
     scene = tower_scene(levels=2, width=1.0)
     poses = trajectory_poses(
-        spiral_waypoints(radius=1.8, z0=0.5, z1=2.0, turns=1.0, n=16),
-        hz=2.0, velocity=0.5)
+        spiral_waypoints(radius=1.2, z0=0.4, z1=2.2, turns=2.0, n=32),
+        hz=2.0, velocity=0.4)
     frames = simulate_trajectory(scene, poses, TofSpec(noise_frac=0.002), seed=0)
     cfg = default_config(
-        granularity=2,
+        granularity=3, min_pca_coeff=0.99,
         shapes=StaticShapes(max_raw_points=4096, max_points=2048,
                             max_world_segments=64))
     eng = SegmentationEngine(cfg, backend="jax")
@@ -49,5 +57,5 @@ def test_tower_mapping_recall():
     segs = eng.world_segments()
     rep = match_report(scene_truth(scene),
                        [dict(s, endpoints=[s["t_min"], s["t_max"]]) for s in segs])
-    assert rep["n_truth_matched"] >= 5
-    assert len(eng.intersections_rows()) >= 1
+    assert rep["n_truth_matched"] >= 10  # measured 10/12 at this budget
+    assert len(eng.intersections_rows()) >= 4
