@@ -189,9 +189,12 @@ def build_tower_frames(cfg, n_frames):
     poses = trajectory_poses(
         spiral_waypoints(radius=1.2, z0=0.4, z1=2.2, turns=2.0, n=40),
         hz=4.0, velocity=0.4)
-    while len(poses) < n_frames:
+    # replay the FULL spiral (~150 frames): the tower entry doubles as the
+    # whole-structure recall check (world_segments ≈ the 12 beams)
+    n = max(n_frames, len(poses))
+    while len(poses) < n:
         poses = poses + poses
-    return simulate_trajectory(scene, poses[:n_frames], TofSpec(noise_frac=0.002),
+    return simulate_trajectory(scene, poses[:n], TofSpec(noise_frac=0.002),
                                seed=0)
 
 

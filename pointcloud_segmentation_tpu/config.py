@@ -82,6 +82,14 @@ class PipelineConfig:
     # eigensolves — reference h:129 MatrixXf) pinned to f32.  The perf
     # default is full-f32.
     compute_dtype: str = "float32"
+    # Voting accumulator strategy (ops/hough.py): "carry" keeps the exact
+    # (B, num_x, num_x) histogram on device (the reference's Hough
+    # add/subtract); "lazy" keeps only (best, key, bound) per direction —
+    # O(B) state, the histogram never materializes — and re-examines the
+    # few directions whose bound could beat the global max.  None = auto:
+    # lazy when the carry would exceed ~48 MB (granularity 6 / small-radius
+    # configs, where the carry is 0.5-5+ GB), carry otherwise.
+    voting: str | None = None
     # Pallas fused voting kernel (ops/voting_pallas.py): opt-in.  Measured on
     # v5e the XLA batched-einsum histogram currently schedules better than
     # the per-direction kernel (12.5 vs 28 ms/frame at granularity 4), so
@@ -99,6 +107,8 @@ class PipelineConfig:
             raise ValueError("rad_2_leaf_ratio must be positive")
         if self.compute_dtype not in ("float32", "float64"):
             raise ValueError("compute_dtype must be 'float32' or 'float64'")
+        if self.voting not in (None, "carry", "lazy"):
+            raise ValueError("voting must be None, 'carry' or 'lazy'")
 
     # Derived parameters (reference: node.cpp:241-243).  Note the reference
     # takes min(first, last) of radius_sizes, not the global min — reproduced.
@@ -117,6 +127,14 @@ class PipelineConfig:
     @property
     def num_directions(self) -> int:
         return NUM_DIRECTIONS[self.granularity]
+
+    @property
+    def voting_mode(self) -> str:
+        """Resolved voting strategy ("carry" or "lazy"); see `voting`."""
+        if self.voting in ("carry", "lazy"):
+            return self.voting
+        carry_bytes = self.num_directions * self.num_x_max ** 2 * 4
+        return "lazy" if carry_bytes > 48 * 2 ** 20 else "carry"
 
     @property
     def max_lines(self) -> int:

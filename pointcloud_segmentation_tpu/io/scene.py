@@ -118,6 +118,52 @@ OBS_DEV_SCENE: Tuple[Cylinder, ...] = (
 )
 
 
+def mockup_scene(radius: float = 0.05) -> Tuple[Cylinder, ...]:
+    """A tall scaffold mockup — stand-in for the mockup world's STL mesh
+    (`flying_arena_ros_mockup.wbt:57-76` references
+    `meshes/mockup_config_lin_1.stl`, which is a missing large blob in the
+    snapshot — .MISSING_LARGE_BLOBS:1-3 — so the geometry here is original;
+    the structure is sized/placed to match the wp_mockup.csv scan pattern:
+    a tall frame near (0, 0.75) scanned from four sides).
+
+    4 corner posts (3.5 m) + cross beams at 3 levels + 4 diagonal braces.
+    """
+    cx, cy = 0.0, 0.75
+    half = 0.5
+    h = 3.5
+    beams: List[Cylinder] = []
+    for (x, y) in ((cx - half, cy - half), (cx + half, cy - half),
+                   (cx + half, cy + half), (cx - half, cy + half)):
+        beams.append(Cylinder((x, y, h / 2), (0.0, 0.0, 1.0), radius, h))
+    for z in (1.0, 2.0, 3.0):
+        beams.append(Cylinder((cx, cy - half, z), (1.0, 0.0, 0.0), radius, 2 * half))
+        beams.append(Cylinder((cx, cy + half, z), (1.0, 0.0, 0.0), radius, 2 * half))
+        beams.append(Cylinder((cx - half, cy, z), (0.0, 1.0, 0.0), radius, 2 * half))
+        beams.append(Cylinder((cx + half, cy, z), (0.0, 1.0, 0.0), radius, 2 * half))
+    # diagonal braces on the two long faces (steel-lattice signature)
+    diag = np.array([1.0, 0.0, 1.0]) / np.sqrt(2.0)
+    for (y, s) in ((cy - half, 1.0), (cy + half, -1.0)):
+        beams.append(Cylinder((cx, y, 1.5), (s * diag[0], 0.0, diag[2]),
+                              radius, np.sqrt(2.0)))
+        beams.append(Cylinder((cx, y, 2.5), (-s * diag[0], 0.0, diag[2]),
+                              radius, np.sqrt(2.0)))
+    return tuple(beams)
+
+
+# wp_mockup.csv — four-sided vertical scan strips around the mockup
+# structure (config_auto_pilot/wp_mockup.csv, schema x,y,z,yaw,duration).
+WP_MOCKUP = (
+    (0.5, 2.0, 0.1, -1.57, 5.0), (0.5, 2.0, 4.0, -1.57, 15.0),
+    (-0.5, 2.0, 4.0, -1.57, 5.0), (-0.5, 2.0, 0.3, -1.57, 15.0),
+    (-1.5, 1.0, 0.3, 0.0, 5.0), (-1.5, 1.0, 4.0, 0.0, 15.0),
+    (-1.5, 0.0, 4.0, 0.0, 5.0), (-1.5, 0.0, 0.3, 0.0, 15.0),
+    (-0.5, -0.5, 0.3, 1.57, 5.0), (-0.5, -0.5, 4.0, 1.57, 15.0),
+    (0.5, -0.5, 4.0, 1.57, 5.0), (0.5, -0.5, 0.3, 1.57, 15.0),
+    (1.5, 0.0, 0.3, 3.14, 5.0), (1.5, 0.0, 4.0, 3.14, 15.0),
+    (1.5, 1.0, 4.0, 3.14, 5.0), (1.5, 1.0, 0.3, 3.14, 15.0),
+)
+
+
 def figure_eight_waypoints(a: float = 1.8, z: float = 1.5, n: int = 48,
                            duration: float = 4.0) -> Tuple[Tuple[float, ...], ...]:
     """A lemniscate (figure-eight) waypoint loop at constant height — the

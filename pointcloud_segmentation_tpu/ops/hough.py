@@ -153,26 +153,28 @@ def _vote_bins(Xs, c1, c2, d, dx, num_x):
 _VOTE_TILE = 128  # directions per histogram tile (bounds the one-hot transient)
 
 
-def _vote_histogram(xi, yi, active, num_x_static):
+def _vote_histogram(Xs, c1, c2, d, dx, num_x, active, num_x_static):
     """Exact (B, NX, NX) vote counts of the active points, on the MXU.
 
     votes[b, x, y] = #{n : active[n], xi[b,n]==x, yi[b,n]==y}, computed as a
     batched one-hot matmul: X1[b,x,n] @ Y1[b,n,y] with bf16 one-hots and f32
     accumulation (0/1 values and counts < 2^24 are exact).  Tiled over the
-    direction axis with lax.map so the transient one-hots stay ~tens of MB.
-    This is the scatter-free TPU formulation of the reference accumulator's
-    ``add``: the full histogram is cheap enough (a few GFLOP at granularity
-    4) to rebuild from the active mask every round, which is exactly
-    equivalent to the reference's add-then-subtract bookkeeping.
+    direction axis with lax.map; the f32-by-spec bins are recomputed INSIDE
+    each tile from the (N, 3) shifted cloud — a (tile, N) flop triviality
+    that keeps the (B, N) bin arrays (336 MB at granularity 6) from ever
+    existing in HBM.  This is the scatter-free TPU formulation of the
+    reference accumulator's ``add`` (h:228).
     """
-    B, N = xi.shape
+    B = c1.shape[0]
+    N = Xs.shape[0]
     x_iota = jax.lax.broadcasted_iota(jnp.int32, (num_x_static, 1), 0)
-    # fold the active mask into the x bin: inactive -> out-of-range sentinel,
-    # whose one-hot row is all-zero (cheaper than a separate (B,NX,N) mask)
-    xi = jnp.where(active[None, :], xi, num_x_static)
 
     def tile_votes(args):
-        xt, yt = args
+        c1t, c2t = args
+        xt, yt = _vote_bins(Xs, c1t, c2t, d, dx, num_x)
+        # fold the active mask into the x bin: inactive -> out-of-range
+        # sentinel, whose one-hot row is all-zero
+        xt = jnp.where(active[None, :], xt, num_x_static)
         X1 = (xt[:, None, :] == x_iota[None, :, :]).astype(jnp.bfloat16)
         Y1 = (yt[:, :, None] == x_iota[None, :, :].transpose(0, 2, 1)
               ).astype(jnp.bfloat16)
@@ -180,10 +182,10 @@ def _vote_histogram(xi, yi, active, num_x_static):
                           preferred_element_type=jnp.float32)
 
     if B <= _VOTE_TILE:
-        return tile_votes((xi, yi))
+        return tile_votes((c1, c2))
     T = B // _VOTE_TILE  # B is padded to a _VOTE_TILE multiple by the caller
     votes = jax.lax.map(tile_votes,
-                        (xi.reshape(T, _VOTE_TILE, N), yi.reshape(T, _VOTE_TILE, N)))
+                        (c1.reshape(T, _VOTE_TILE, 3), c2.reshape(T, _VOTE_TILE, 3)))
     return votes.reshape(B, num_x_static, num_x_static)
 
 
@@ -231,14 +233,69 @@ def _pad_dirs_to_tile(dirs, c1, c2):
     return rep(dirs), rep(c1), rep(c2)
 
 
+def _vote_state_tiles(Xs, c1, c2, d, dx, num_x, active, num_x_static):
+    """Per-direction (best count, best flat cell, upper bound on every OTHER
+    cell) — the lazy voting state, computed tile-by-tile so the full
+    (B, NX, NX) histogram NEVER exists in HBM (only ~tile-sized transients).
+
+    `best`/`key` follow the oracle's argmax convention (first max == the
+    lexicographically smallest cell); `ub` is the max count over all cells
+    except `key`, which stays a valid upper bound for the rest of the
+    extraction because vote counts only decrease (points are only removed,
+    h:241/h:339).  c1/c2 row count must be a _VOTE_TILE multiple.
+    """
+    cells = num_x_static * num_x_static
+    x_iota = jax.lax.broadcasted_iota(jnp.int32, (num_x_static, 1), 0)
+    cell_iota = jax.lax.broadcasted_iota(jnp.int32, (1, cells), 1)
+
+    def tile_state(args):
+        c1t, c2t = args
+        xt, yt = _vote_bins(Xs, c1t, c2t, d, dx, num_x)
+        xt = jnp.where(active[None, :], xt, num_x_static)
+        X1 = (xt[:, None, :] == x_iota[None, :, :]).astype(jnp.bfloat16)
+        Y1 = (yt[:, :, None] == x_iota[None, :, :].transpose(0, 2, 1)
+              ).astype(jnp.bfloat16)
+        v = jnp.einsum("bxn,bny->bxy", X1, Y1,
+                       preferred_element_type=jnp.float32)
+        vf = v.reshape(v.shape[0], cells)
+        best = vf.max(axis=1)
+        key = jnp.argmax(vf == best[:, None], axis=1).astype(jnp.int32)
+        ub = jnp.where(cell_iota == key[:, None], -1.0, vf).max(axis=1)
+        return best, key, ub
+
+    B = c1.shape[0]
+    if B <= _VOTE_TILE:
+        return tile_state((c1, c2))
+    T = B // _VOTE_TILE
+    bs, ks, us = jax.lax.map(
+        tile_state, (c1.reshape(T, _VOTE_TILE, 3), c2.reshape(T, _VOTE_TILE, 3)))
+    return bs.reshape(-1), ks.reshape(-1), us.reshape(-1)
+
+
+def _removed_cell_keys(Xs, c1, c2, d, dx, num_x, removed, n_rem, sub_chunk,
+                       num_x_static):
+    """(B, R) flat cell keys of the removed points (compacted to R columns;
+    empty columns get the out-of-range sentinel `cells`).  Shares the exact
+    compaction + f32 binning of `_vote_histogram_delta`."""
+    N = removed.shape[0]
+    pos = jnp.cumsum(removed.astype(jnp.int32)) - 1
+    pos = jnp.where(removed, pos, sub_chunk)
+    perm = jnp.zeros((sub_chunk + 1,), jnp.int32).at[pos].set(
+        jnp.arange(N, dtype=jnp.int32))[:sub_chunk]
+    r_iota = jnp.arange(sub_chunk, dtype=jnp.int32)
+    Xr = jnp.take(Xs, perm, axis=0)
+    xt, yt = _vote_bins(Xr, c1, c2, d, dx, num_x)
+    keys = xt * num_x_static + yt
+    return jnp.where(r_iota[None, :] < n_rem, keys,
+                     num_x_static * num_x_static)
+
+
 class _LoopState(NamedTuple):
     it: jnp.ndarray
     active: jnp.ndarray
-    votes: jnp.ndarray        # carried (B, NX, NX) accumulator = hist(active)
-    row_max: jnp.ndarray      # carried (B,) per-direction max of `votes` —
-                              # avoids re-reading the whole accumulator for
-                              # the argmax each round (the row reduce fuses
-                              # into the subtract's single HBM pass instead)
+    vstate: tuple             # voting-mode state: carry = (votes (B,NX,NX),
+                              # row_max (B,)); lazy = (best (B,), key (B,),
+                              # ub (B,)) — see extract_lines
     nlines: jnp.ndarray
     nout: jnp.ndarray
     stop: jnp.ndarray
@@ -305,14 +362,114 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
     precheck_fail = degenerate | dx_too_large
     num_x = jnp.maximum(jnp.floor(d / dx + 0.5).astype(jnp.int32), 1)
 
-    xi_bins, yi_bins = _vote_bins(Xs, c1, c2, d, dx, num_x)
     cells = num_x_static * num_x_static
     use_pallas = bool(cfg.use_pallas)  # None (auto) -> False; see config.py
+    lazy = cfg.voting_mode == "lazy"
+    sub_chunk = min(_SUB_CHUNK, N)
+    # capacity of the per-round suspect re-examination (lazy mode): a
+    # _VOTE_TILE multiple; overflow falls back to an exact full rebuild
+    s_cap = max(_VOTE_TILE, (min(B, 2048) // _VOTE_TILE) * _VOTE_TILE)
 
     rs = jnp.asarray(cfg.radius_sizes, dt)
     rs_max = jnp.asarray(max(cfg.radius_sizes), dt)
     min_nb_scale = jnp.asarray(
         2.0 / (cfg.rad_2_leaf_ratio * (2 * cfg.diag_voxel) ** 2), dt)
+
+    # ---- voting-state closures: "carry" keeps the exact (B, NX, NX)
+    # accumulator (the reference's Hough add/subtract, h:228/241) with its
+    # per-direction row max; "lazy" keeps ONLY (best, key, ub) per direction
+    # — the accumulator never exists in HBM (O(B) state instead of
+    # O(B·NX²); 250 KB vs 514 MB at granularity 6).  Both are exact: lazy
+    # decrements each direction's best-cell count by the removed points'
+    # votes and re-examines the directions whose other-cells bound `ub`
+    # could reach the global max before the next argmax trusts the state.
+    def _vstate_init(active0):
+        if lazy:
+            return _vote_state_tiles(Xs, c1, c2, d, dx, num_x, active0,
+                                     num_x_static)
+        if use_pallas:
+            from .voting_pallas import vote_histogram_pallas
+
+            xb, yb = _vote_bins(Xs, c1, c2, d, dx, num_x)
+            xi_m = jnp.where(active0[None, :], xb, num_x_static)
+            v0 = vote_histogram_pallas(xi_m, yb, num_x_static)
+        else:
+            v0 = _vote_histogram(Xs, c1, c2, d, dx, num_x, active0,
+                                 num_x_static)
+        return (v0, v0.max(axis=(1, 2)))
+
+    def _vstate_winner(vs):
+        """(M, b_win, cell_win) with the first-max == smallest (b, xi, yi)
+        tie-break, matching the oracle's flat argmax."""
+        if lazy:
+            best, key, _ = vs
+            M = best.max()
+            b_win = jnp.argmax(best == M).astype(jnp.int32)
+            cell_win = key[b_win]
+            return M, b_win, cell_win
+        votes, row_max = vs
+        M = row_max.max()
+        b_win = jnp.argmax(row_max == M).astype(jnp.int32)
+        win_row = jax.lax.dynamic_index_in_dim(votes, b_win, axis=0,
+                                               keepdims=False)
+        cell_win = jnp.argmax(win_row.reshape(cells) == M).astype(jnp.int32)
+        return M, b_win, cell_win
+
+    def _vstate_update(vs, branch, m2, n_rem, active_next):
+        """branch 0 = keep (loop ending); 1 = incremental removal;
+        2 = spill (> sub_chunk removed): exact rebuild from active_next."""
+        if lazy:
+            def _keep(args):
+                return args
+
+            def _increment(args):
+                best, key, ub = args
+                keys_r = _removed_cell_keys(Xs, c1, c2, d, dx, num_x, m2,
+                                            n_rem, sub_chunk, num_x_static)
+                dec = (keys_r == key[:, None]).sum(axis=1).astype(best.dtype)
+                best = best - dec                       # exact best-cell count
+                M_lb = best.max()
+                if dir_axis is not None:
+                    M_lb = jax.lax.pmax(M_lb, dir_axis)
+                suspect = ub >= M_lb                    # other cells could win
+                n_sus = suspect.sum()
+                spos = jnp.cumsum(suspect.astype(jnp.int32)) - 1
+                spos = jnp.where(suspect, spos, s_cap)
+                idx = jnp.full((s_cap + 1,), B, jnp.int32).at[spos].set(
+                    jnp.arange(B, dtype=jnp.int32))[:s_cap]
+                idx_c = jnp.minimum(idx, B - 1)
+                bs, ks, us = _vote_state_tiles(Xs, c1[idx_c], c2[idx_c], d,
+                                               dx, num_x, active_next,
+                                               num_x_static)
+                tgt = jnp.where(idx < B, idx, B)        # padding -> dropped
+                best = best.at[tgt].set(bs, mode="drop")
+                key = key.at[tgt].set(ks, mode="drop")
+                ub = ub.at[tgt].set(us, mode="drop")
+                return jax.lax.cond(n_sus > s_cap, _rebuild,
+                                    lambda _: (best, key, ub), args)
+
+            def _rebuild(args):
+                return _vote_state_tiles(Xs, c1, c2, d, dx, num_x,
+                                         active_next, num_x_static)
+
+            return jax.lax.switch(branch, [_keep, _increment, _rebuild], vs)
+
+        def _keep(args):
+            return args
+
+        def _subtract(args):
+            v, _ = args
+            vn = v - _vote_histogram_delta(Xs, c1, c2, d, dx, num_x,
+                                           m2, n_rem, sub_chunk,
+                                           num_x_static)
+            return vn, vn.max(axis=(1, 2))
+
+        def _rebuild(args):
+            vn = _vote_histogram(Xs, c1, c2, d, dx, num_x, active_next,
+                                 num_x_static)
+            return vn, vn.max(axis=(1, 2))
+
+        return jax.lax.switch(branch, [_keep, _subtract, _rebuild], vs)
 
     def cond(s: _LoopState):
         # With opt_nlines > 0 every iteration either increments nlines or
@@ -326,19 +483,10 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
         return c
 
     def body(s: _LoopState) -> _LoopState:
-        # ---- voting: carried accumulator (== hist of active), global argmax.
-        # The reference's add-once / subtract-removed invariant (h:228, 241)
-        # holds: s.votes always equals the active points' histogram, and
-        # s.row_max its per-direction max (computed in the same HBM pass as
-        # the subtract below — the argmax here only touches the tiny (B,)
-        # carry plus ONE direction's row).  First-max tie-break == smallest
-        # (b, xi, yi): argmax picks the first direction with the global max,
-        # then the first max cell within it.
-        M = s.row_max.max()
-        b_win = jnp.argmax(s.row_max == M).astype(jnp.int32)
-        win_row = jax.lax.dynamic_index_in_dim(s.votes, b_win, axis=0,
-                                               keepdims=False)
-        cell_win = jnp.argmax(win_row.reshape(cells) == M).astype(jnp.int32)
+        # ---- voting: exact global argmax from the mode's carried state
+        # (see the closures above).  First-max tie-break == smallest
+        # (b, xi, yi), matching the oracle.
+        M, b_win, cell_win = _vstate_winner(s.vstate)
         winner = (b_win + dir_offset) * cells + cell_win
         if dir_axis is not None:
             M_g = jax.lax.pmax(M, dir_axis)
@@ -452,41 +600,22 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
             valid=upd(segs.valid, True),
         )
 
-        # Incremental subtract (the reference's Hough::subtract, h:241) as
-        # ONE 3-way branch (extra conds would copy the (B, NX, NX) carry):
-        # 0 = loop ending, keep; 1 = subtract the removed points' compacted
-        # histogram (typical: a line removes a few hundred points);
-        # 2 = rare spill (> _SUB_CHUNK removed): recompute from the next
-        # active set.  Both give exactly hist(active').  The row_max
-        # reduce rides the same pass over the updated accumulator.
-        sub_chunk = min(_SUB_CHUNK, N)
+        # Incremental removal (the reference's Hough::subtract, h:241) as
+        # ONE 3-way branch (extra conds would copy the carry):
+        # 0 = loop ending, keep; 1 = incremental update for the removed
+        # points (typical: a line removes a few hundred points); 2 = rare
+        # spill (> _SUB_CHUNK removed): exact rebuild from the next active
+        # set.  Every branch leaves the state exact for the next argmax.
         n_rem = nv
         active_next = s.active & ~m2
         branch = jnp.where(proceed,
                            jnp.where(n_rem <= sub_chunk, 1, 2), 0)
-
-        def _keep(args):
-            return args
-
-        def _subtract(args):
-            v, _ = args
-            vn = v - _vote_histogram_delta(Xs, c1, c2, d, dx, num_x,
-                                           m2, n_rem, sub_chunk,
-                                           num_x_static)
-            return vn, vn.max(axis=(1, 2))
-
-        def _rebuild(args):
-            vn = _vote_histogram(xi_bins, yi_bins, active_next, num_x_static)
-            return vn, vn.max(axis=(1, 2))
-
-        votes_next, row_max_next = jax.lax.switch(
-            branch, [_keep, _subtract, _rebuild], (s.votes, s.row_max))
+        vstate_next = _vstate_update(s.vstate, branch, m2, n_rem, active_next)
 
         return _LoopState(
             it=s.it + 1,
             active=jnp.where(proceed, active_next, s.active),
-            votes=votes_next,
-            row_max=row_max_next,
+            vstate=vstate_next,
             nlines=s.nlines + ok3.astype(jnp.int32),   # counts gate failures (h:259)
             nout=s.nout + write.astype(jnp.int32),
             stop=s.stop | ~proceed,
@@ -495,17 +624,8 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
         )
 
     active0 = valid & ~precheck_fail
-    if use_pallas:
-        from .voting_pallas import vote_histogram_pallas
-
-        xi_m = jnp.where(active0[None, :], xi_bins, num_x_static)
-        votes0 = vote_histogram_pallas(xi_m, yi_bins, num_x_static)
-    else:
-        votes0 = _vote_histogram(xi_bins, yi_bins, active0, num_x_static)
-
     init = _LoopState(
-        it=jnp.int32(0), active=active0, votes=votes0,
-        row_max=votes0.max(axis=(1, 2)),
+        it=jnp.int32(0), active=active0, vstate=_vstate_init(active0),
         nlines=jnp.int32(0), nout=jnp.int32(0),
         stop=precheck_fail, fail=jnp.array(False),
         segs=empty_segments(L, N, dt))

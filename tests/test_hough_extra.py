@@ -171,8 +171,8 @@ def test_delta_histogram_exact_at_large_num_x():
     active = jnp.asarray(rng.random(N) < 0.9)
     removed = active & jnp.asarray(rng.random(N) < 0.3)
     n_rem = removed.sum().astype(jnp.int32)
-    full = _vote_histogram(xi, yi, active, NX)
-    remaining = _vote_histogram(xi, yi, active & ~removed, NX)
+    full = _vote_histogram(Xs, c1, c2, d, dx, NX, active, NX)
+    remaining = _vote_histogram(Xs, c1, c2, d, dx, NX, active & ~removed, NX)
     delta = _vote_histogram_delta(Xs, c1, c2, d, dx, NX, removed, n_rem,
                                   N, NX)
     np.testing.assert_array_equal(np.asarray(full - delta),

@@ -122,3 +122,23 @@ def test_tp_process_frame_matches_single_device():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(st.b)[:n], np.asarray(ref.b)[:n],
                                atol=1e-5)
+
+
+def test_dir_sharding_lazy_voting_parity():
+    """Lazy (accumulator-free) voting under direction sharding: the suspect
+    bound reduces with pmax across the dir axis — results must match the
+    unsharded carry extraction exactly."""
+    frames, clouds, poss, quats = make_frames(4)
+    cfg_lazy = CFG.replace(voting="lazy")
+    m1 = make_mesh(n_batch=4, n_dir=1)
+    m2 = make_mesh(n_batch=2, n_dir=4)
+    r1 = make_batched_extract(CFG.replace(voting="carry"), m1)(
+        jnp.asarray(clouds), jnp.asarray(poss), jnp.asarray(quats))
+    r2 = make_batched_extract(cfg_lazy, m2)(
+        jnp.asarray(clouds), jnp.asarray(poss), jnp.asarray(quats))
+    v1, v2 = np.asarray(r1[0].valid), np.asarray(r2[0].valid)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_allclose(np.asarray(r1[0].a)[v1], np.asarray(r2[0].a)[v2],
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(r1[0].points_size)[v1],
+                                  np.asarray(r2[0].points_size)[v2])

@@ -8,8 +8,17 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from pointcloud_segmentation_tpu.ops.hough import _vote_histogram
 from pointcloud_segmentation_tpu.ops.voting_pallas import vote_histogram_pallas
+
+
+def _hist_ref(xi, yi, active, NX):
+    B, N = xi.shape
+    out = np.zeros((B, NX, NX), np.float32)
+    for b in range(B):
+        for n in range(N):
+            if active[n]:
+                out[b, xi[b, n], yi[b, n]] += 1
+    return out
 
 
 @pytest.mark.parametrize("seed,B,N,NX", [(0, 32, 256, 79), (1, 128, 512, 40)])
@@ -19,8 +28,7 @@ def test_pallas_matches_xla(seed, B, N, NX):
     yi = rng.integers(0, NX, size=(B, N)).astype(np.int32)
     active = rng.random(N) < 0.7
 
-    ref = np.asarray(_vote_histogram(jnp.asarray(xi), jnp.asarray(yi),
-                                     jnp.asarray(active), NX))
+    ref = _hist_ref(xi, yi, active, NX)
     xi_m = np.where(active[None, :], xi, NX).astype(np.int32)
     out = np.asarray(vote_histogram_pallas(jnp.asarray(xi_m), jnp.asarray(yi),
                                            NX, interpret=True))
