@@ -95,9 +95,33 @@ def bench_tpu(cfg, frames, warmup=2):
     _ = int(out.world_count)
     dt = time.perf_counter() - t0
 
+    # true device time per full step: chain the step on-device (state
+    # threaded through a fori_loop), one scalar readback at the end — p50
+    # above includes the host<->TPU relay round-trip (~25-30 ms here),
+    # which local (non-relayed) deployments don't pay
+    from pointcloud_segmentation_tpu.pipeline import process_frame, init_world as _iw
+
+    reps = 16
+    a0 = args_all[min(warmup, len(args_all) - 1)]
+
+    @jax.jit
+    def dev_loop(st, raw, pos, quat):
+        def body(i, s):
+            s2, _ = process_frame(s, raw, pos, quat, cfg)
+            return s2
+        return jax.lax.fori_loop(0, reps, body, st)
+
+    st = dev_loop(_iw(cfg), *a0)
+    _ = int(st.count)
+    t0 = time.perf_counter()
+    st = dev_loop(_iw(cfg), *a0)
+    _ = int(st.count)
+    dev_ms = (time.perf_counter() - t0) / reps * 1e3
+
     return {
         "p50_ms": float(np.percentile(lat, 50) * 1e3),
         "p95_ms": float(np.percentile(lat, 95) * 1e3),
+        "device_ms_per_frame": float(dev_ms),
         "clouds_per_sec": float(n_tp / dt) if n_tp else float("nan"),
         "world_segments": int(np.asarray(state.count)),
     }
