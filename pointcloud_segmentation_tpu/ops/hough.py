@@ -151,6 +151,8 @@ def _vote_bins(Xs, c1, c2, d, dx, num_x):
 
 
 _VOTE_TILE = 128  # directions per histogram tile (bounds the one-hot transient)
+_GAP_RANK_MAX_N = 4096  # above this, the gap check sorts instead of using
+                        # the O(N²) rank matrix (see the gate in the loop)
 
 
 def _vote_histogram(Xs, c1, c2, d, dx, num_x, active, num_x_static):
@@ -540,21 +542,32 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
         bx_zero = bc[0] == 0.0                        # find_t failure (h:43-45)
         t = (proj[:, 0] - a_w[0]) / jnp.where(bx_zero, 1.0, bc[0])
 
-        # Gap check over t-sorted order WITHOUT a sort: a 2048-element sort
-        # costs ~0.5 ms on TPU, but stable ranks are one (N, N) pairwise
-        # pass on the VPU, and the max adjacent-|delta pn| only needs the
-        # successor relation rank_j == rank_i + 1.
+        # Gap check over t-sorted order (h:285-292).  Two formulations with
+        # identical results (ties have equal t, hence equal ||a + t b||, so
+        # their relative order never changes the adjacent-gap maximum):
+        #   * rank-matrix: stable ranks via one (N, N) pairwise pass on the
+        #     VPU — beats a sort's fixed ~0.5 ms up to a few thousand points
+        #     but is O(N²) memory;
+        #   * sort: O(N log N), the only viable shape for large sensors
+        #     (128×128 ToF ⇒ N = 16k would need three 256M-cell matrices).
         tv = jnp.where(m2, t, jnp.inf)
-        row_i = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
-        col_j = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-        before = (tv[None, :] < tv[:, None]) | (
-            (tv[None, :] == tv[:, None]) & (col_j < row_i))
-        rank = before.sum(axis=1).astype(jnp.int32)      # stable rank in t
         pn_all = jnp.sqrt(((a_w[None, :] + t[:, None] * bc[None, :]) ** 2).sum(-1))
-        succ = (rank[None, :] == rank[:, None] + 1) & m2[:, None] & m2[None, :]
-        gap_mat = jnp.where(succ, jnp.abs(pn_all[None, :] - pn_all[:, None]),
-                            -jnp.inf)
-        max_gap = jnp.where(nv > 1, gap_mat.max(), 0.0)
+        if N <= _GAP_RANK_MAX_N:
+            row_i = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+            col_j = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+            before = (tv[None, :] < tv[:, None]) | (
+                (tv[None, :] == tv[:, None]) & (col_j < row_i))
+            rank = before.sum(axis=1).astype(jnp.int32)  # stable rank in t
+            succ = (rank[None, :] == rank[:, None] + 1) & m2[:, None] & m2[None, :]
+            gap_mat = jnp.where(succ, jnp.abs(pn_all[None, :] - pn_all[:, None]),
+                                -jnp.inf)
+            max_gap = jnp.where(nv > 1, gap_mat.max(), 0.0)
+        else:
+            order = jnp.argsort(tv)                      # inliers first (inf last)
+            pn_s = pn_all[order]
+            pair_ok = (jnp.arange(N - 1) + 1) < nv       # both ends inliers
+            gaps = jnp.where(pair_ok, jnp.abs(pn_s[1:] - pn_s[:-1]), -jnp.inf)
+            max_gap = jnp.where(nv > 1, gaps.max(), 0.0)
 
         ifirst = jnp.argmax(m2)
         ilast = N - 1 - jnp.argmax(m2[::-1])

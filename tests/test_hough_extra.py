@@ -225,3 +225,28 @@ def test_opt_nlines_above_max_iters_not_truncated():
     assert int(res.nlines) == ref_nlines
     assert int(np.asarray(res.segments.valid).sum()) == len(ref_segs)
     assert ref_nlines > 3  # the truncated bound would have stopped at 3
+
+
+def test_large_sensor_sort_gap_path():
+    """max_points > _GAP_RANK_MAX_N switches the gap check to the sort
+    formulation (the O(N²) rank matrix would need 3 x 64M cells at 8k
+    points) — oracle parity must hold through the switch."""
+    from pointcloud_segmentation_tpu.ops import hough as H
+
+    cfg = default_config(
+        granularity=2, opt_nlines=4, opt_minvotes=12, min_pca_coeff=0.9,
+        shapes=StaticShapes(max_raw_points=16384, max_points=8192))
+    assert cfg.shapes.max_points > H._GAP_RANK_MAX_N
+    rng = np.random.default_rng(21)
+    clouds = []
+    for a, b in (([0.2, -0.6, 0.3], [0.1, 1.0, 0.2]),
+                 ([0.9, 0.5, 1.1], [1.0, -0.2, 0.1])):
+        t = np.linspace(0, 1.3, 500)
+        b = np.asarray(b) / np.linalg.norm(b)
+        clouds.append(np.asarray(a) + t[:, None] * b
+                      + rng.normal(0, 0.003, (500, 3)))
+    pts = np.concatenate(clouds).astype(np.float32)
+    (ref_segs, ref_nlines, _), res = run_both(pts, cfg)
+    assert int(res.nlines) == ref_nlines
+    assert int(np.asarray(res.segments.valid).sum()) == len(ref_segs)
+    assert len(ref_segs) == 2
