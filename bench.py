@@ -127,6 +127,40 @@ def bench_tpu(cfg, frames, warmup=2):
     }
 
 
+def bench_batched_node_loop(cfg, frames, batch=8):
+    """Full node loop in batch mode (pipeline.make_batched_process):
+    vmapped per-frame stages + scanned in-order fusion — the production
+    throughput path."""
+    import jax
+    import jax.numpy as jnp
+    from pointcloud_segmentation_tpu.pipeline import make_batched_process, init_world
+
+    step = make_batched_process(cfg)
+    state = init_world(cfg)
+    T = len(frames) // batch
+    clouds = np.full((T, batch, cfg.shapes.max_raw_points, 3), np.nan, np.float32)
+    poss = np.zeros((T, batch, 3), np.float32)
+    quats = np.zeros((T, batch, 4), np.float32)
+    for i, fr in enumerate(frames[: T * batch]):
+        k = min(len(fr.points), cfg.shapes.max_raw_points)
+        clouds[i // batch, i % batch, :k] = fr.points[:k]
+        poss[i // batch, i % batch] = fr.position
+        quats[i // batch, i % batch] = fr.quat_wxyz
+    cj, pj, qj = jnp.asarray(clouds), jnp.asarray(poss), jnp.asarray(quats)
+
+    state, *_ = step(state, cj[0], pj[0], qj[0])   # compile
+    _ = int(state.count)
+    t0 = time.perf_counter()
+    for ti in range(1, T):
+        state, *_ = step(state, cj[ti], pj[ti], qj[ti])
+    _ = int(state.count)
+    dt = time.perf_counter() - t0
+    n = (T - 1) * batch
+    return {"clouds_per_sec": float(n / dt), "batch": batch,
+            "ms_per_cloud": float(dt / n * 1e3),
+            "world_segments": int(np.asarray(state.count))}
+
+
 def bench_oracle(cfg, frames):
     from pointcloud_segmentation_tpu import oracle
 
@@ -154,24 +188,40 @@ def bench_standalone_hough(cfg, frames, iters=20):
     raw = np.full((cfg.shapes.max_raw_points, 3), np.nan, np.float32)
     raw[: len(frames[0].points)] = frames[0].points
     rawj = jnp.asarray(raw)
+    # NB: the loop body must carry a REAL data dependency on the iteration
+    # (acc * eps, not acc * 0) — XLA folds `x + 0*acc` to a loop-invariant
+    # and hoists work out of the loop, under-reporting by up to ~4x
+    # (measured: iters=10 -> 6.1 "ms/cloud", iters=40 -> 4.0 for the same op)
+    eps = jnp.float32(1e-20)
 
     @jax.jit
-    def loop(x):
-        f, v, _ = preprocess(rawj, cfg)
+    def loop(rawp):
+        f, v, _ = preprocess(rawp, cfg)
         return jax.lax.fori_loop(
-            0, iters, lambda i, acc: acc + extract_lines(f + acc * 0, v, cfg).nlines,
+            0, iters,
+            lambda i, acc: acc + extract_lines(
+                f + acc * eps, v, cfg).nlines.astype(jnp.float32) * (1.0 + eps),
             jnp.float32(0))
 
-    _ = float(loop(jnp.float32(0)))                 # compile
+    _ = float(loop(rawj))                 # compile
     t0 = time.perf_counter()
-    _ = float(loop(jnp.float32(0)))
+    _ = float(loop(rawj))
     dt = (time.perf_counter() - t0) / iters
     return {"ms_per_cloud": dt * 1e3, "clouds_per_sec": 1.0 / dt}
 
 
 def bench_batched(cfg, frames, batch=8, reps=4):
     """BASELINE config 5 (single-chip part): batched multi-frame extraction
-    via vmap — the multi-chip version shards this batch over a mesh."""
+    via vmap — the multi-chip version shards this batch over a mesh.
+
+    Honest measurement note (round 2): on ONE chip, vmap batching does NOT
+    amortize extraction — the vmapped while_loop runs the union of every
+    frame's rounds and each round's accumulator traffic scales with the
+    batch, so ms/cloud is WORSE than the sequential pipelined path (the
+    round-1 2.8 ms/cloud figure was an `acc*0` hoisting artifact, see
+    bench_standalone_hough).  The batch axis pays off only when sharded
+    across devices (parallel/sharding.make_batched_extract).
+    """
     import jax
     import jax.numpy as jnp
     from pointcloud_segmentation_tpu.ops.preproc import preprocess
@@ -181,20 +231,22 @@ def bench_batched(cfg, frames, batch=8, reps=4):
     for i, fr in enumerate(frames[:batch]):
         clouds[i, : len(fr.points)] = fr.points
     cj = jnp.asarray(clouds)
+    eps = jnp.float32(1e-20)
 
     def one(raw):
         f, v, _ = preprocess(raw, cfg)
-        return extract_lines(f, v, cfg).nlines
+        return extract_lines(f, v, cfg).nlines.astype(jnp.float32)
 
     @jax.jit
-    def loop(x):
+    def loop(c):
         return jax.lax.fori_loop(
-            0, reps, lambda i, acc: acc + jax.vmap(one)(cj + acc * 0).sum(),
-            jnp.int32(0))
+            0, reps,
+            lambda i, acc: acc + jax.vmap(one)(c + acc * eps).sum() * (1.0 + eps),
+            jnp.float32(0))
 
-    _ = int(loop(jnp.int32(0)))
+    _ = float(loop(cj))
     t0 = time.perf_counter()
-    _ = int(loop(jnp.int32(0)))
+    _ = float(loop(cj))
     dt = (time.perf_counter() - t0) / (reps * batch)
     return {"ms_per_cloud": dt * 1e3, "clouds_per_sec": 1.0 / dt,
             "batch": batch}
@@ -262,6 +314,8 @@ def main():
         log(f"tower replay: {details['tower_replay']}")
         details["batched_g4"] = bench_batched(cfg, frames)
         log(f"batched g4: {details['batched_g4']}")
+        details["node_loop_batched8"] = bench_batched_node_loop(cfg, frames)
+        log(f"node loop batched8: {details['node_loop_batched8']}")
         cfg6 = cfg.replace(granularity=6)
         details["stress_g6"] = bench_standalone_hough(cfg6, frames, iters=4)
         log(f"stress g6: {details['stress_g6']}")

@@ -48,19 +48,44 @@ def _build_cfg(args):
     return default_config(**overrides)
 
 
+def _scene_and_waypoints(name: str):
+    """Scene registry: each named scenario = (beam scene, default flight).
+
+    obs_tests = the 7-beam benchmark world + wp_tests vertical scan;
+    dev       = the 9-beam r=0.1 development world + figure-eight;
+    tower     = the 2-level lattice tower + orbiting climb (wp_tower-style);
+    mockup    = the tall scaffold + wp_mockup four-sided scan.
+    """
+    from .io import scene as S
+
+    if name == "obs_tests":
+        return S.OBS_TESTS_SCENE, S.WP_TESTS
+    if name == "dev":
+        return S.OBS_DEV_SCENE, S.figure_eight_waypoints(a=1.8, z=1.7)
+    if name == "tower":
+        return (S.tower_scene(levels=2, width=1.0),
+                S.spiral_waypoints(radius=1.2, z0=0.4, z1=2.2, turns=2.0, n=40))
+    if name == "mockup":
+        return S.mockup_scene(), S.WP_MOCKUP
+    raise SystemExit(f"unknown scene {name!r} "
+                     f"(choose obs_tests, dev, tower, mockup)")
+
+
 def _frames(args, cfg):
-    from .io.scene import OBS_TESTS_SCENE, WP_TESTS, trajectory_poses, load_waypoints_csv
+    from .io.scene import trajectory_poses, load_waypoints_csv
     from .io.simulator import simulate_trajectory, TofSpec
 
     if getattr(args, "replay", None):
         from .io.replay import load_frames
 
         return load_frames(args.replay)
-    wps = load_waypoints_csv(args.waypoints) if getattr(args, "waypoints", None) else WP_TESTS
+    scene, wps_default = _scene_and_waypoints(getattr(args, "scene", "obs_tests"))
+    wps = (load_waypoints_csv(args.waypoints)
+           if getattr(args, "waypoints", None) else wps_default)
     poses = trajectory_poses(wps, hz=args.hz, velocity=args.velocity)
     if args.max_frames:
         poses = poses[: args.max_frames]
-    return simulate_trajectory(OBS_TESTS_SCENE, poses,
+    return simulate_trajectory(scene, poses,
                                TofSpec(noise_frac=args.noise), seed=args.seed)
 
 
@@ -84,9 +109,10 @@ def cmd_run(args) -> int:
     if args.plots:
         from . import viz
         from .eval import match_report
-        from .io.scene import OBS_TESTS_SCENE, scene_truth
+        from .io.scene import scene_truth
 
-        truth = scene_truth(OBS_TESTS_SCENE)
+        scene, _ = _scene_and_waypoints(args.scene)
+        truth = scene_truth(scene)
         proc = [dict(s, endpoints=[s["t_min"], s["t_max"]]) for s in segs]
         rep = match_report(truth, proc)
         viz.plot_world(proc, truth, rep["matches"],
@@ -110,11 +136,12 @@ def cmd_record(args) -> int:
 
 def cmd_eval(args) -> int:
     from .eval import match_report
-    from .io.scene import OBS_TESTS_SCENE, scene_truth
+    from .io.scene import scene_truth
     from .runtime.csvio import read_segments_csv
 
     proc = read_segments_csv(args.segments_csv)
-    truth = scene_truth(OBS_TESTS_SCENE)
+    scene, _ = _scene_and_waypoints(args.scene)
+    truth = scene_truth(scene)
     rep = match_report(truth, proc, args.angle_threshold, args.distance_threshold)
     out = {k: v for k, v in rep.items() if k != "matches"}
     print(json.dumps(out, indent=2))
@@ -186,6 +213,9 @@ def main(argv=None) -> int:
 
     pr = sub.add_parser("run", help="run the pipeline over a trajectory")
     _add_common(pr)
+    pr.add_argument("--scene", default="obs_tests",
+                    choices=["obs_tests", "dev", "tower", "mockup"],
+                    help="simulated world + default flight pattern")
     pr.add_argument("--replay", help="replay a recorded .pcsl frame log")
     pr.add_argument("--waypoints", help="reference-format waypoint CSV")
     pr.add_argument("--hz", type=float, default=4.0)
@@ -202,6 +232,8 @@ def main(argv=None) -> int:
     pc = sub.add_parser("record", help="simulate + save a replay log")
     _add_common(pc)
     pc.add_argument("log", help="output .pcsl path")
+    pc.add_argument("--scene", default="obs_tests",
+                    choices=["obs_tests", "dev", "tower", "mockup"])
     pc.add_argument("--waypoints")
     pc.add_argument("--hz", type=float, default=4.0)
     pc.add_argument("--velocity", type=float, default=0.25)
@@ -212,6 +244,8 @@ def main(argv=None) -> int:
 
     pe = sub.add_parser("eval", help="ground-truth accuracy of a segments.csv")
     pe.add_argument("segments_csv")
+    pe.add_argument("--scene", default="obs_tests",
+                    choices=["obs_tests", "dev", "tower", "mockup"])
     pe.add_argument("--angle-threshold", type=float, default=0.1)
     pe.add_argument("--distance-threshold", type=float, default=0.5)
     pe.add_argument("--plots", action="store_true")

@@ -153,6 +153,8 @@ def _vote_bins(Xs, c1, c2, d, dx, num_x):
 _VOTE_TILE = 128  # directions per histogram tile (bounds the one-hot transient)
 _GAP_RANK_MAX_N = 4096  # above this, the gap check sorts instead of using
                         # the O(N²) rank matrix (see the gate in the loop)
+_SUSPECT_CAP = 2048     # lazy voting: max directions re-examined per round
+                        # (overflow falls back to an exact full rebuild)
 
 
 def _vote_histogram(Xs, c1, c2, d, dx, num_x, active, num_x_static):
@@ -370,7 +372,8 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
     sub_chunk = min(_SUB_CHUNK, N)
     # capacity of the per-round suspect re-examination (lazy mode): a
     # _VOTE_TILE multiple; overflow falls back to an exact full rebuild
-    s_cap = max(_VOTE_TILE, (min(B, 2048) // _VOTE_TILE) * _VOTE_TILE)
+    s_cap = max(_VOTE_TILE,
+                (min(B, _SUSPECT_CAP) // _VOTE_TILE) * _VOTE_TILE)
 
     rs = jnp.asarray(cfg.radius_sizes, dt)
     rs_max = jnp.asarray(max(cfg.radius_sizes), dt)

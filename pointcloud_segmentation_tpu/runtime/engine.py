@@ -62,6 +62,8 @@ class SegmentationEngine:
         self._inlier_points: dict[int, list[np.ndarray]] = {}
         self._viz_stream = viz_stream
         self._viz_file = None
+        self._batched_step = None
+        self._batched_size = 0
         self._program_start: Optional[float] = None
         self._worker: Optional[threading.Thread] = None
         self._running = False
@@ -257,14 +259,24 @@ class SegmentationEngine:
             "status": res.status,
         }
 
-    def run_replay(self, frames, pipelined: bool = False) -> List[dict]:
+    def run_replay(self, frames, pipelined: bool = False,
+                   batch: int = 0) -> List[dict]:
         """Process every frame of an io.simulator replay (poses auto-pushed).
 
         pipelined=True (jax backend only): dispatch frames back-to-back
         without a device sync per frame — steady-state throughput mode; the
         per-frame `processing_time` then records amortized dispatch time and
         the final sync is folded into the last frame's record.
+
+        batch=k>1 (jax backend only): frames run through the batched step
+        (pipeline.make_batched_process) — per-frame stages vmapped over k
+        frames, fusion scanned sequentially in frame order; same world map,
+        amortized per-frame times.  NOTE: on a single chip this is slower
+        per cloud than pipelined=True (see make_batched_process) — it is
+        the DP building block / multi-chip shape, kept for parity testing.
         """
+        if batch > 1 and self.backend == "jax":
+            return self._run_replay_batched(frames, batch)
         if not pipelined or self.backend != "jax":
             out = []
             for fr in frames:
@@ -274,6 +286,54 @@ class SegmentationEngine:
                     out.append(rec)
             return out
         return self._run_replay_pipelined(frames)
+
+    def _run_replay_batched(self, frames, batch: int) -> List[dict]:
+        jnp = self._jnp
+        from ..pipeline import make_batched_process
+
+        if self._batched_step is None or self._batched_size != batch:
+            self._batched_step = make_batched_process(self.cfg)
+            self._batched_size = batch
+        step = self._batched_step
+        if self._program_start is None:
+            self._program_start = self._now()
+        out = []
+        for c0 in range(0, len(frames), batch):
+            chunk = frames[c0: c0 + batch]
+            clouds = np.full((batch, self.cfg.shapes.max_raw_points, 3),
+                             np.nan, self._npdt)
+            poss = np.zeros((batch, 3), self._npdt)
+            quats = np.zeros((batch, 4), self._npdt)
+            quats[:, 0] = 1.0
+            live = []
+            for i, fr in enumerate(chunk):
+                self.push_pose(fr.t, fr.position, fr.quat_wxyz)
+                pose = self.poses.lookup(fr.t)
+                if pose is None:
+                    self.frames_skipped_no_pose += 1
+                    continue     # NaN cloud -> degenerate no-op frame
+                clouds[i] = self._pad_raw(fr.points)
+                poss[i], quats[i] = pose
+                live.append(i)
+            start = self._now()
+            self._state, nlines, statuses, counts = step(
+                self._state, jnp.asarray(clouds), jnp.asarray(poss),
+                jnp.asarray(quats))
+            nl = np.asarray(nlines)
+            wc = np.asarray(counts)       # one sync per chunk
+            end = self._now()
+            per = (end - start) / max(len(live), 1)
+            for i in live:
+                rec = {
+                    "wall_time": (end - self._program_start) * 1e6,
+                    "processing_time": per * 1e6,
+                    "seg_vec_size": int(wc[i]),
+                    "nblines": max(int(nl[i]), 0),
+                }
+                self.records.append(rec)
+                out.append(rec)
+                self.frames_processed += 1
+        return out
 
     def _run_replay_pipelined(self, frames) -> List[dict]:
         jnp = self._jnp

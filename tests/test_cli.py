@@ -51,3 +51,16 @@ def test_cli_with_reference_yaml(tmp_path, capsys):
                "--granularity", "2", "--out", out, "--hz", "1.0",
                "--velocity", "0.5", "--max-frames", "3"])
     assert rc == 0
+
+
+def test_cli_scene_selection(tmp_path, capsys):
+    """--scene picks the world + default flight; eval uses matching truth."""
+    out = str(tmp_path / "mock")
+    rc = main(["run", "--granularity", "2", "--scene", "mockup", "--out", out,
+               "--hz", "0.5", "--velocity", "0.8", "--max-frames", "8"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "segments.csv"))
+    capsys.readouterr()
+    rc = main(["eval", os.path.join(out, "segments.csv"), "--scene", "mockup"])
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["n_truth"] == 20          # the mockup scaffold's beam count

@@ -299,3 +299,30 @@ def test_engine_viz_stream_callback(replay_frames):
     eng = SegmentationEngine(CFG, backend="jax", viz_stream=got.append)
     eng.run_replay(replay_frames[:2])
     assert len(got) == 2 and got[0]["frame"] == 1
+
+
+def test_engine_batched_replay_matches_synchronous(replay_frames):
+    """batch=k replay: same world map and per-frame counters as the
+    one-frame-at-a-time path (vmapped stages + scanned fusion)."""
+    eng_b = SegmentationEngine(CFG, backend="jax")
+    recs_b = eng_b.run_replay(replay_frames, batch=4)
+    eng_s = SegmentationEngine(CFG, backend="jax")
+    recs_s = eng_s.run_replay(replay_frames)
+    assert len(recs_b) == len(recs_s) == len(replay_frames)
+    assert [r["seg_vec_size"] for r in recs_b] == [r["seg_vec_size"] for r in recs_s]
+    assert [r["nblines"] for r in recs_b] == [r["nblines"] for r in recs_s]
+    sb = eng_b.world_segments()
+    ss = eng_s.world_segments()
+    assert len(sb) == len(ss)
+    for x, y in zip(sb, ss):
+        np.testing.assert_allclose(x["a"], y["a"], atol=1e-5)
+        assert x["points_size"] == y["points_size"]
+
+
+def test_engine_batched_replay_ragged_tail(replay_frames):
+    """A frame count not divisible by the batch pads with degenerate
+    no-op frames — the tail chunk must not corrupt the map."""
+    eng = SegmentationEngine(CFG, backend="jax")
+    recs = eng.run_replay(replay_frames[:5], batch=3)
+    assert len(recs) == 5
+    assert eng.frames_processed == 5

@@ -144,3 +144,39 @@ def test_lazy_ties_and_duplicates():
     assert int(res.status) == ref_status
     np.testing.assert_array_equal(np.asarray(res.segments.a),
                                   np.asarray(r_carry.segments.a))
+
+
+def test_lazy_suspect_overflow_fallback(monkeypatch):
+    """Shrink the suspect capacity so busy rounds overflow into the
+    exact-full-rebuild branch — parity with carry mode must survive."""
+    from pointcloud_segmentation_tpu.ops import hough as H
+
+    monkeypatch.setattr(H, "_SUSPECT_CAP", 128)
+    cfg = default_config(
+        granularity=4, opt_nlines=8, opt_minvotes=10, min_pca_coeff=0.8,
+        shapes=StaticShapes(max_raw_points=4096, max_points=2048))
+    rng = np.random.default_rng(31)
+    clouds = []
+    for i in range(6):
+        a = rng.uniform([-0.4, -0.8, 0.2], [0.9, 0.8, 1.4])
+        b = rng.normal(size=3)
+        b /= np.linalg.norm(b)
+        t = np.linspace(0, 1.2, 220)
+        clouds.append(a + t[:, None] * b + rng.normal(0, 0.004, (220, 3)))
+    pts = np.concatenate(clouds).astype(np.float32)
+    padded, valid = pad(pts, cfg.shapes.max_points)
+    pj, vj = jnp.asarray(padded), jnp.asarray(valid)
+    # extract_lines_jit caches on cfg; call extract_lines via fresh jit so
+    # the monkeypatched capacity is traced in
+    import jax
+    from pointcloud_segmentation_tpu.ops.hough import extract_lines
+
+    r_lazy = jax.jit(lambda p, v: extract_lines(
+        p, v, cfg.replace(voting="lazy")))(pj, vj)
+    r_carry = jax.jit(lambda p, v: extract_lines(
+        p, v, cfg.replace(voting="carry")))(pj, vj)
+    assert int(r_lazy.nlines) == int(r_carry.nlines)
+    np.testing.assert_array_equal(np.asarray(r_lazy.segments.valid),
+                                  np.asarray(r_carry.segments.valid))
+    np.testing.assert_array_equal(np.asarray(r_lazy.segments.points_size),
+                                  np.asarray(r_carry.segments.points_size))
