@@ -180,3 +180,45 @@ def test_lazy_suspect_overflow_fallback(monkeypatch):
                                   np.asarray(r_carry.segments.valid))
     np.testing.assert_array_equal(np.asarray(r_lazy.segments.points_size),
                                   np.asarray(r_carry.segments.points_size))
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_lazy_carry_fuzz_configs(seed):
+    """Fuzz: random scenes x random configs — lazy and carry must produce
+    identical extraction results (nlines, status, segment identities)."""
+    rng = np.random.default_rng(seed + 1000)
+    g = int(rng.integers(0, 5))
+    cfg = default_config(
+        granularity=g,
+        opt_nlines=int(rng.integers(0, 8)),
+        opt_minvotes=int(rng.integers(4, 20)),
+        min_pca_coeff=float(rng.uniform(0.4, 0.99)),
+        rad_2_leaf_ratio=float(rng.choice([1.0, 1.5, 2.0])),
+        radius_sizes=[(0.05,), (0.1,), (0.05, 0.1)][int(rng.integers(0, 3))],
+        shapes=StaticShapes(max_raw_points=2048, max_points=1024,
+                            max_iters=10))
+    n_lines = int(rng.integers(0, 4))
+    clouds = [rng.normal(0, 0.2, (int(rng.integers(5, 60)), 3)) + [0.5, 0, 1]]
+    for i in range(n_lines):
+        a = rng.uniform([-0.4, -0.8, 0.2], [0.9, 0.8, 1.4])
+        clouds.append(line_cloud(rng, a, rng.normal(size=3),
+                                 n=int(rng.integers(40, 220)),
+                                 jitter=float(rng.uniform(0.002, 0.01))))
+    pts = np.concatenate(clouds).astype(np.float32)
+    # sprinkle hostile values
+    if rng.random() < 0.5:
+        pts[rng.integers(0, len(pts), 5)] = np.nan
+    if rng.random() < 0.3:
+        pts[rng.integers(0, len(pts), 3)] = np.inf
+    padded, valid = pad(pts, cfg.shapes.max_points)
+    pj, vj = jnp.asarray(padded), jnp.asarray(valid)
+    rc = extract_lines_jit(pj, vj, cfg.replace(voting="carry"))
+    rl = extract_lines_jit(pj, vj, cfg.replace(voting="lazy"))
+    assert int(rc.nlines) == int(rl.nlines)
+    assert int(rc.status) == int(rl.status)
+    np.testing.assert_array_equal(np.asarray(rc.segments.valid),
+                                  np.asarray(rl.segments.valid))
+    np.testing.assert_array_equal(np.asarray(rc.segments.points_size),
+                                  np.asarray(rl.segments.points_size))
+    np.testing.assert_array_equal(np.asarray(rc.segments.a),
+                                  np.asarray(rl.segments.a))
