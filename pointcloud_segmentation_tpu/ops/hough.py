@@ -374,6 +374,7 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
     # _VOTE_TILE multiple; overflow falls back to an exact full rebuild
     s_cap = max(_VOTE_TILE,
                 (min(B, _SUSPECT_CAP) // _VOTE_TILE) * _VOTE_TILE)
+    s_tier = min(s_cap, 2 * _VOTE_TILE)  # fast path for the common rounds
 
     rs = jnp.asarray(cfg.radius_sizes, dt)
     rs_max = jnp.asarray(max(cfg.radius_sizes), dt)
@@ -438,20 +439,38 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
                     M_lb = jax.lax.pmax(M_lb, dir_axis)
                 suspect = ub >= M_lb                    # other cells could win
                 n_sus = suspect.sum()
-                spos = jnp.cumsum(suspect.astype(jnp.int32)) - 1
-                spos = jnp.where(suspect, spos, s_cap)
-                idx = jnp.full((s_cap + 1,), B, jnp.int32).at[spos].set(
-                    jnp.arange(B, dtype=jnp.int32))[:s_cap]
-                idx_c = jnp.minimum(idx, B - 1)
-                bs, ks, us = _vote_state_tiles(Xs, c1[idx_c], c2[idx_c], d,
-                                               dx, num_x, active_next,
-                                               num_x_static)
-                tgt = jnp.where(idx < B, idx, B)        # padding -> dropped
-                best = best.at[tgt].set(bs, mode="drop")
-                key = key.at[tgt].set(ks, mode="drop")
-                ub = ub.at[tgt].set(us, mode="drop")
-                return jax.lax.cond(n_sus > s_cap, _rebuild,
-                                    lambda _: (best, key, ub), args)
+
+                def _exam(cap):
+                    # re-examine <= cap suspect directions: compact their
+                    # indices, recompute (best, key, ub) just for them
+                    def go(args):
+                        best, key, ub = args
+                        spos = jnp.cumsum(suspect.astype(jnp.int32)) - 1
+                        spos = jnp.where(suspect, spos, cap)
+                        idx = jnp.full((cap + 1,), B, jnp.int32).at[spos].set(
+                            jnp.arange(B, dtype=jnp.int32))[:cap]
+                        idx_c = jnp.minimum(idx, B - 1)
+                        bs, ks, us = _vote_state_tiles(
+                            Xs, c1[idx_c], c2[idx_c], d, dx, num_x,
+                            active_next, num_x_static)
+                        tgt = jnp.where(idx < B, idx, B)  # padding -> dropped
+                        return (best.at[tgt].set(bs, mode="drop"),
+                                key.at[tgt].set(ks, mode="drop"),
+                                ub.at[tgt].set(us, mode="drop"))
+                    return go
+
+                # Measured suspect counts per round are 0-300 at granularity
+                # 6 (stale-ub decay), so a small first tier handles nearly
+                # every round at ~1/8 the cost of the full s_cap exam; the
+                # s_cap tier and the exact full rebuild remain as fallbacks.
+                args2 = (best, key, ub)
+                if s_tier < s_cap:
+                    sel = jnp.where(n_sus <= s_tier, 0,
+                                    jnp.where(n_sus <= s_cap, 1, 2))
+                    return jax.lax.switch(
+                        sel, [_exam(s_tier), _exam(s_cap), _rebuild], args2)
+                return jax.lax.cond(n_sus > s_cap, _rebuild, _exam(s_cap),
+                                    args2)
 
             def _rebuild(args):
                 return _vote_state_tiles(Xs, c1, c2, d, dx, num_x,

@@ -182,6 +182,42 @@ def test_lazy_suspect_overflow_fallback(monkeypatch):
                                   np.asarray(r_carry.segments.points_size))
 
 
+def test_lazy_g6_shipped_direction_table():
+    """Granularity 6 — the reference's SHIPPED direction count (20481,
+    config_pc_seg/config.yaml:22) — through lazy, carry, and the oracle.
+    radius 0.1 keeps the bin count small enough for the carry accumulator
+    on the CPU test platform; the direction table is the real g6 sphere,
+    so the tiered suspect exam (s_tier < s_cap) is exercised at scale."""
+    rng = np.random.default_rng(77)
+    cfg = default_config(
+        granularity=6, opt_nlines=4, opt_minvotes=10, min_pca_coeff=0.9,
+        radius_sizes=(0.1,),
+        shapes=StaticShapes(max_raw_points=1024, max_points=512))
+    pts = np.concatenate([
+        line_cloud(rng, [0.2, -0.6, 0.4], [0.2, 1.0, 0.1], n=180,
+                   jitter=0.006),
+        line_cloud(rng, [0.9, 0.4, 0.3], [0.0, -0.3, 1.0], n=140,
+                   jitter=0.006),
+    ])
+    ref_segs, ref_nlines, ref_status = oracle.hough3dlines(
+        np.asarray(pts, np.float64), cfg)
+    padded, valid = pad(pts, cfg.shapes.max_points)
+    pj, vj = jnp.asarray(padded), jnp.asarray(valid)
+    rl = extract_lines_jit(pj, vj, cfg.replace(voting="lazy"))
+    rc = extract_lines_jit(pj, vj, cfg.replace(voting="carry"))
+    assert int(rl.nlines) == int(rc.nlines) == ref_nlines
+    assert int(rl.status) == int(rc.status) == ref_status
+    v = np.asarray(rl.segments.valid)
+    assert int(v.sum()) == len(ref_segs) >= 2
+    np.testing.assert_array_equal(np.asarray(rl.segments.points_size),
+                                  np.asarray(rc.segments.points_size))
+    np.testing.assert_array_equal(np.asarray(rl.segments.a),
+                                  np.asarray(rc.segments.a))
+    ps = np.asarray(rl.segments.points_size)[v]
+    for k, rs in enumerate(ref_segs):
+        assert ps[k] == rs.points_size
+
+
 @pytest.mark.parametrize("seed", range(10))
 def test_lazy_carry_fuzz_configs(seed):
     """Fuzz: random scenes x random configs — lazy and carry must produce
