@@ -9,18 +9,30 @@
 //     the reference node's SharedData producer/consumer design
 //     (pointcloud_segmentation_node.cpp:36-39, 167-173, 268-276), GIL-free;
 //   * a binary frame-log codec (the replay "data loader"): timestamped
-//     poses + float32 clouds with a simple length-prefixed layout.
+//     poses + float32 clouds with a simple length-prefixed layout;
+//   * a time-stamped pose ring buffer with interpolating lookup — the TF2
+//     buffer analog (node.cpp:357-376, tfbr.cpp:18-35);
+//   * CSV writers with the reference's exact schemas and C++ `%.6g`
+//     number formatting (node.cpp:850-919);
+//   * a paced frame feeder: a background thread that streams a frame log
+//     into the mailbox + pose buffer at sensor rate — the Webots/ROS
+//     spinner analog, entirely off the Python GIL.
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 -o libpcs_runtime.so pcs_runtime.cpp -lpthread
 // (driven by pointcloud_segmentation_tpu/native/build.py at import time).
 
+#include <algorithm>
+#include <array>
 #include <atomic>
 #include <chrono>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
 #include <mutex>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -182,6 +194,254 @@ void pcs_log_close_read(PcsLogReader* r) {
   if (!r) return;
   if (r->f) std::fclose(r->f);
   delete r;
+}
+
+// ---------------------------------------------------------------- pose buffer
+//
+// Time-ordered ring buffer of (t, position, quaternion) with the lookup
+// semantics of runtime/posebuffer.py (the TF2 analog): linear position
+// interpolation, slerp orientation, nearest-sample extrapolation within
+// `timeout` seconds of the buffered range, failure outside it.
+
+struct PcsPoseBuffer {
+  std::mutex mu;
+  size_t capacity;
+  double timeout;
+  std::deque<double> t;                       // ascending
+  std::deque<std::array<double, 3>> pos;
+  std::deque<std::array<double, 4>> quat;     // (w, x, y, z), unit
+};
+
+PcsPoseBuffer* pcs_posebuf_create(uint64_t capacity, double timeout) {
+  auto* b = new PcsPoseBuffer();
+  b->capacity = capacity ? capacity : 1;
+  b->timeout = timeout;
+  return b;
+}
+
+void pcs_posebuf_destroy(PcsPoseBuffer* b) { delete b; }
+
+void pcs_posebuf_push(PcsPoseBuffer* b, double t, const double* pos,
+                      const double* quat) {
+  std::array<double, 3> p{pos[0], pos[1], pos[2]};
+  std::array<double, 4> q{quat[0], quat[1], quat[2], quat[3]};
+  double n = std::sqrt(q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3]);
+  if (n > 0) for (auto& v : q) v /= n;
+  std::lock_guard<std::mutex> lock(b->mu);
+  // insertion position: after any existing equal timestamps (bisect right)
+  auto it = std::upper_bound(b->t.begin(), b->t.end(), t);
+  size_t i = size_t(it - b->t.begin());
+  b->t.insert(it, t);
+  b->pos.insert(b->pos.begin() + i, p);
+  b->quat.insert(b->quat.begin() + i, q);
+  if (b->t.size() > b->capacity) {
+    b->t.pop_front();
+    b->pos.pop_front();
+    b->quat.pop_front();
+  }
+}
+
+static void pcs_slerp(const std::array<double, 4>& q0in,
+                      const std::array<double, 4>& q1in, double u,
+                      double* out) {
+  std::array<double, 4> q1 = q1in;
+  double d = q0in[0] * q1[0] + q0in[1] * q1[1] + q0in[2] * q1[2] +
+             q0in[3] * q1[3];
+  if (d < 0.0) {
+    for (auto& v : q1) v = -v;
+    d = -d;
+  }
+  if (d > 0.9995) {  // nlerp fallback, mirroring posebuffer.slerp
+    double n = 0.0;
+    for (int k = 0; k < 4; k++) {
+      out[k] = q0in[k] + u * (q1[k] - q0in[k]);
+      n += out[k] * out[k];
+    }
+    n = std::sqrt(n);
+    for (int k = 0; k < 4; k++) out[k] /= n;
+    return;
+  }
+  double th = std::acos(d < -1.0 ? -1.0 : (d > 1.0 ? 1.0 : d));
+  double s = std::sin(th);
+  double w0 = std::sin((1.0 - u) * th) / s, w1 = std::sin(u * th) / s;
+  for (int k = 0; k < 4; k++) out[k] = w0 * q0in[k] + w1 * q1[k];
+}
+
+// Returns 1 and fills out_pos[3]/out_quat[4] on success, 0 on lookup failure
+// (empty buffer or t outside range+timeout) — the TransformException path.
+int pcs_posebuf_lookup(PcsPoseBuffer* b, double t, double* out_pos,
+                       double* out_quat) {
+  std::lock_guard<std::mutex> lock(b->mu);
+  if (b->t.empty()) return 0;
+  auto it = std::upper_bound(b->t.begin(), b->t.end(), t);
+  size_t i = size_t(it - b->t.begin());
+  if (i == 0) {
+    if (b->t.front() - t > b->timeout) return 0;
+    for (int k = 0; k < 3; k++) out_pos[k] = b->pos.front()[k];
+    for (int k = 0; k < 4; k++) out_quat[k] = b->quat.front()[k];
+    return 1;
+  }
+  if (i == b->t.size()) {
+    if (t - b->t.back() > b->timeout) return 0;
+    for (int k = 0; k < 3; k++) out_pos[k] = b->pos.back()[k];
+    for (int k = 0; k < 4; k++) out_quat[k] = b->quat.back()[k];
+    return 1;
+  }
+  double t0 = b->t[i - 1], t1 = b->t[i];
+  double u = (t1 == t0) ? 0.0 : (t - t0) / (t1 - t0);
+  for (int k = 0; k < 3; k++)
+    out_pos[k] = (1.0 - u) * b->pos[i - 1][k] + u * b->pos[i][k];
+  pcs_slerp(b->quat[i - 1], b->quat[i], u, out_quat);
+  return 1;
+}
+
+uint64_t pcs_posebuf_size(PcsPoseBuffer* b) {
+  std::lock_guard<std::mutex> lock(b->mu);
+  return b->t.size();
+}
+
+// ---------------------------------------------------------------- CSV writers
+//
+// Exact reference schemas (node.cpp:858, 886, 912) with C++ ostream default
+// double formatting — printf %.6g, which IS what `ofstream << double` prints.
+
+static int pcs_fput_g(FILE* f, double v) {
+  return std::fprintf(f, "%.6g", v) < 0 ? -1 : 0;
+}
+
+// rows: n x 8 doubles (a_x,a_y,a_z,b_x,b_y,b_z,t_min,t_max); the segment id
+// column is the row index.
+int pcs_csv_write_segments(const char* path, const double* rows, uint64_t n) {
+  FILE* f = std::fopen(path, "w");
+  if (!f) return -1;
+  int rc = std::fputs("segment,a_x,a_y,a_z,b_x,b_y,b_z,t_min,t_max\n", f) < 0
+               ? -1 : 0;
+  for (uint64_t i = 0; i < n && rc == 0; i++) {
+    rc |= std::fprintf(f, "%llu", (unsigned long long)i) < 0 ? -1 : 0;
+    for (int k = 0; k < 8 && rc == 0; k++) {
+      rc |= std::fputc(',', f) == EOF ? -1 : 0;
+      rc |= pcs_fput_g(f, rows[i * 8 + k]);
+    }
+    rc |= std::fputc('\n', f) == EOF ? -1 : 0;
+  }
+  return std::fclose(f) != 0 ? -1 : rc;
+}
+
+// rows: n x 4 doubles (seg1, t1, seg2, t2); seg ids are written as ints.
+int pcs_csv_write_intersections(const char* path, const double* rows,
+                                uint64_t n) {
+  FILE* f = std::fopen(path, "w");
+  if (!f) return -1;
+  int rc = std::fputs("seg1,t1,seg2,t2\n", f) < 0 ? -1 : 0;
+  for (uint64_t i = 0; i < n && rc == 0; i++) {
+    rc |= std::fprintf(f, "%lld,", (long long)rows[i * 4 + 0]) < 0 ? -1 : 0;
+    rc |= pcs_fput_g(f, rows[i * 4 + 1]);
+    rc |= std::fprintf(f, ",%lld,", (long long)rows[i * 4 + 2]) < 0 ? -1 : 0;
+    rc |= pcs_fput_g(f, rows[i * 4 + 3]);
+    rc |= std::fputc('\n', f) == EOF ? -1 : 0;
+  }
+  return std::fclose(f) != 0 ? -1 : rc;
+}
+
+// rows: n x 4 doubles (wall_time, processing_time, seg_vec_size, nblines);
+// the two counters are written as ints.
+int pcs_csv_write_processing(const char* path, const double* rows,
+                             uint64_t n) {
+  FILE* f = std::fopen(path, "w");
+  if (!f) return -1;
+  int rc = std::fputs("wall_time,processing_time,seg_vec_size,nblines\n", f) < 0
+               ? -1 : 0;
+  for (uint64_t i = 0; i < n && rc == 0; i++) {
+    rc |= pcs_fput_g(f, rows[i * 4 + 0]);
+    rc |= std::fputc(',', f) == EOF ? -1 : 0;
+    rc |= pcs_fput_g(f, rows[i * 4 + 1]);
+    rc |= std::fprintf(f, ",%lld,%lld\n", (long long)rows[i * 4 + 2],
+                       (long long)rows[i * 4 + 3]) < 0 ? -1 : 0;
+  }
+  return std::fclose(f) != 0 ? -1 : rc;
+}
+
+// ---------------------------------------------------------------- feeder
+//
+// Background thread that replays a frame log into a mailbox (clouds) and a
+// pose buffer (poses) at a fixed rate — the sensor/ROS-spinner analog.  The
+// consumer (the processing engine) sees the exact production interface:
+// latest-wins mailbox + time-stamped pose lookups, with frames DROPPED (not
+// queued) when it falls behind, like the depth-1 /tof_pc subscription.
+
+struct PcsFeeder {
+  std::thread th;
+  std::atomic<bool> stop{false};
+  std::atomic<uint64_t> fed{0};
+  std::atomic<int> done{0};
+  PcsMailbox* mb = nullptr;
+  PcsPoseBuffer* pb = nullptr;
+  std::string path;
+  double rate_hz = 0.0;
+  int loops = 1;
+  int close_on_end = 1;
+};
+
+static void pcs_feeder_run(PcsFeeder* fd) {
+  std::vector<float> pts(1u << 22);  // 4M floats ~= 1.4M points cap
+  std::vector<uint8_t> payload;
+  auto next = std::chrono::steady_clock::now();
+  for (int loop = 0; loop < fd->loops && !fd->stop; loop++) {
+    PcsLogReader* r = pcs_log_open_read(fd->path.c_str());
+    if (!r) break;
+    double t, pos[3], quat[4];
+    for (;;) {
+      if (fd->stop) break;
+      int64_t n = pcs_log_read_frame(r, &t, pos, quat, pts.data(),
+                                     uint32_t(pts.size() / 3));
+      if (n < 0) break;
+      uint32_t take = uint32_t(n) < uint32_t(pts.size() / 3)
+                          ? uint32_t(n) : uint32_t(pts.size() / 3);
+      if (fd->pb) pcs_posebuf_push(fd->pb, t, pos, quat);
+      if (fd->mb) {
+        payload.resize(12 + size_t(take) * 12);
+        std::memcpy(payload.data(), &t, 8);
+        std::memcpy(payload.data() + 8, &take, 4);
+        std::memcpy(payload.data() + 12, pts.data(), size_t(take) * 12);
+        pcs_mailbox_put(fd->mb, payload.data(), payload.size());
+      }
+      fd->fed++;
+      if (fd->rate_hz > 0) {
+        next += std::chrono::microseconds(int64_t(1e6 / fd->rate_hz));
+        std::this_thread::sleep_until(next);
+      }
+    }
+    pcs_log_close_read(r);
+  }
+  if (fd->mb && fd->close_on_end) pcs_mailbox_close(fd->mb);
+  fd->done = 1;
+}
+
+PcsFeeder* pcs_feeder_start(const char* log_path, PcsMailbox* mb,
+                            PcsPoseBuffer* pb, double rate_hz, int loops,
+                            int close_on_end) {
+  auto* fd = new PcsFeeder();
+  fd->mb = mb;
+  fd->pb = pb;
+  fd->path = log_path;
+  fd->rate_hz = rate_hz;
+  fd->loops = loops < 1 ? 1 : loops;
+  fd->close_on_end = close_on_end;
+  fd->th = std::thread(pcs_feeder_run, fd);
+  return fd;
+}
+
+uint64_t pcs_feeder_fed(PcsFeeder* fd) { return fd->fed.load(); }
+
+int pcs_feeder_done(PcsFeeder* fd) { return fd->done.load(); }
+
+// Stops (if still running), joins, destroys; returns frames fed.
+uint64_t pcs_feeder_stop(PcsFeeder* fd) {
+  fd->stop = true;
+  if (fd->th.joinable()) fd->th.join();
+  uint64_t n = fd->fed.load();
+  delete fd;
+  return n;
 }
 
 }  // extern "C"

@@ -134,6 +134,29 @@ def cmd_record(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    """Stream a recorded log through the production runtime (feeder thread
+    -> latest-wins mailbox + pose buffer -> consumer thread), at sensor
+    rate — the closest analog of the live ROS node loop."""
+    from .runtime import SegmentationEngine
+
+    cfg = _build_cfg(args)
+    eng = SegmentationEngine(cfg, backend=args.backend,
+                             viz_stream=args.viz_stream)
+    stats = eng.run_streaming_from_log(args.log, rate_hz=args.rate,
+                                       loops=args.loops)
+    outdir = args.out or cfg.path_to_output
+    paths = eng.finalize(outdir)
+    segs = eng.world_segments()
+    print(f"fed {stats['fed']} frames at {args.rate} Hz -> processed "
+          f"{stats['processed']}, dropped {stats['dropped']} (latest-wins), "
+          f"skipped {eng.frames_skipped_no_pose} (no pose); "
+          f"{len(segs)} world segments")
+    for k, v in paths.items():
+        print(f"  {k}: {v}")
+    return 0
+
+
 def cmd_eval(args) -> int:
     from .eval import match_report
     from .io.scene import scene_truth
@@ -241,6 +264,17 @@ def main(argv=None) -> int:
     pc.add_argument("--seed", type=int, default=0)
     pc.add_argument("--max-frames", type=int, default=0)
     pc.set_defaults(fn=cmd_record)
+
+    ps = sub.add_parser("stream",
+                        help="stream a .pcsl log through the live runtime "
+                             "(feeder -> mailbox -> consumer) at sensor rate")
+    _add_common(ps)
+    ps.add_argument("log", help="input .pcsl path (see `record`)")
+    ps.add_argument("--rate", type=float, default=30.0,
+                    help="feed rate in Hz (0 = as fast as possible)")
+    ps.add_argument("--loops", type=int, default=1)
+    ps.add_argument("--viz-stream", default=None, metavar="JSONL")
+    ps.set_defaults(fn=cmd_stream)
 
     pe = sub.add_parser("eval", help="ground-truth accuracy of a segments.csv")
     pe.add_argument("segments_csv")

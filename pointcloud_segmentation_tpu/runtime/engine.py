@@ -48,7 +48,7 @@ class SegmentationEngine:
         ``visualization()``); a callable receives the same dict instead."""
         self.cfg = cfg
         self.backend = backend
-        self.poses = PoseBuffer()
+        self.poses = self._make_pose_buffer()
         self.mailbox = self._make_mailbox()
         self.records: List[dict] = []
         self.frames_processed = 0
@@ -107,6 +107,18 @@ class SegmentationEngine:
         except Exception:
             pass
         return LatestWinsMailbox()
+
+    def _make_pose_buffer(self):
+        """Prefer the native (C++) pose ring buffer (same TF2-analog
+        semantics as runtime.posebuffer.PoseBuffer); fall back to Python."""
+        try:
+            from .. import native
+
+            if native.available():
+                return native.NativePoseBuffer()
+        except Exception:
+            pass
+        return PoseBuffer()
 
     # ---------------------------------------------------------------- inputs
 
@@ -411,6 +423,68 @@ class SegmentationEngine:
             self._worker.join(timeout=10.0)
             self._worker = None
 
+    def run_streaming_from_log(self, log_path: str, rate_hz: float = 30.0,
+                               loops: int = 1, poll_s: float = 0.05) -> dict:
+        """Stream a recorded frame log through the full production runtime:
+        a feeder paces clouds into the latest-wins mailbox and poses into
+        the pose buffer at sensor rate while the consumer thread processes
+        — frames are DROPPED (not queued) when processing falls behind,
+        exactly like the reference's depth-1 /tof_pc subscription.
+
+        With the native runtime, the feeder is a C++ thread (GIL-free);
+        otherwise a Python pacing thread replays the same log.  Returns
+        ``{"fed": n, "processed": n, "dropped": n}``.
+        """
+        import time as _time
+
+        from .. import native
+
+        self.start()
+        use_native = (native.available()
+                      and isinstance(self.mailbox, native.NativeMailbox)
+                      and isinstance(self.poses, native.NativePoseBuffer))
+        if use_native:
+            feeder = native.NativeFeeder(log_path, self.mailbox, self.poses,
+                                         rate_hz=rate_hz, loops=loops,
+                                         close_on_end=False)
+            try:
+                while not feeder.done:
+                    _time.sleep(poll_s)
+                fed = feeder.fed
+            finally:
+                feeder.stop()
+        else:
+            from ..io.replay import load_frames
+
+            frames = load_frames(log_path)
+            period = 1.0 / rate_hz if rate_hz > 0 else 0.0
+            fed = 0
+            for _ in range(max(loops, 1)):
+                for fr in frames:
+                    self.push_pose(fr.t, fr.position, fr.quat_wxyz)
+                    self.submit_cloud(fr.t, fr.points)
+                    fed += 1
+                    if period:
+                        _time.sleep(period)
+        # drain: wait until the worker has consumed the last fresh frame
+        deadline = _time.monotonic() + 10.0
+        while _time.monotonic() < deadline:
+            before = self.frames_processed + self.frames_failed \
+                + self.frames_skipped_no_pose
+            _time.sleep(poll_s)
+            after = self.frames_processed + self.frames_failed \
+                + self.frames_skipped_no_pose
+            if after == before and after + self.dropped_frames >= fed:
+                break
+        self.stop()
+        return {"fed": int(fed), "processed": int(self.frames_processed),
+                "dropped": int(self.dropped_frames)}
+
+    @property
+    def dropped_frames(self) -> int:
+        d = getattr(self.mailbox, "dropped", 0)
+        return int(d() if callable(d) else d)
+
     # ---------------------------------------------------------------- outputs
 
     def world_segments(self) -> List[dict]:
@@ -552,7 +626,12 @@ class SegmentationEngine:
             self._wm.inter = data["inter"]
 
     def finalize(self, outdir: Optional[str] = None) -> dict:
-        """Write the three reference CSVs (the node-destructor flush)."""
+        """Write the three reference CSVs (the node-destructor flush).
+
+        Uses the native (C++) writers when available — byte-identical to
+        runtime.csvio (printf %.6g IS the C++ ofstream default the
+        reference writes with, node.cpp:850-919) — else the Python ones.
+        """
         if self._viz_file is not None:
             self._viz_file.close()
             self._viz_file = None
@@ -562,7 +641,17 @@ class SegmentationEngine:
             "segments": os.path.join(outdir, "segments.csv"),
             "processing_time": os.path.join(outdir, "processing_time.csv"),
         }
-        csvio.write_intersections_csv(paths["intersections"], self.intersections_rows())
-        csvio.write_segments_csv(paths["segments"], self.world_segments())
-        csvio.write_processing_time_csv(paths["processing_time"], self.records)
+        writers = csvio
+        try:
+            from .. import native
+
+            if native.available():
+                writers = native
+        except Exception:
+            pass
+        writers.write_intersections_csv(paths["intersections"],
+                                        self.intersections_rows())
+        writers.write_segments_csv(paths["segments"], self.world_segments())
+        writers.write_processing_time_csv(paths["processing_time"],
+                                          self.records)
         return paths

@@ -45,6 +45,24 @@ def test_cli_record_and_replay(tmp_path, capsys):
     assert os.path.exists(os.path.join(out, "processing_time.csv"))
 
 
+def test_cli_stream(tmp_path, capsys):
+    """record -> stream: the live-runtime path (feeder thread -> latest-wins
+    mailbox + pose buffer -> consumer thread) from the CLI."""
+    log = str(tmp_path / "frames.pcsl")
+    rc = main(["record", log, "--hz", "2.0", "--velocity", "0.4",
+               "--max-frames", "5"])
+    assert rc == 0
+
+    out = str(tmp_path / "out_stream")
+    rc = main(["stream", log, "--granularity", "2", "--backend", "oracle",
+               "--out", out, "--rate", "15"])
+    assert rc == 0
+    msg = capsys.readouterr().out
+    assert "fed 5 frames" in msg
+    assert os.path.exists(os.path.join(out, "segments.csv"))
+    assert os.path.exists(os.path.join(out, "processing_time.csv"))
+
+
 def test_cli_with_reference_yaml(tmp_path, capsys):
     out = str(tmp_path / "out3")
     rc = main(["run", "--config", "/root/reference/config_pc_seg/config.yaml",

@@ -95,3 +95,137 @@ def test_python_codec_roundtrip(tmp_path):
     back = list(_py_load(p))
     assert len(back) == 3
     np.testing.assert_allclose(back[2].points, frames[2].points)
+
+
+@needs_native
+def test_native_posebuffer_matches_python():
+    """Random pushes (out of order, duplicates) + lookups: the C++ buffer
+    must agree with runtime.posebuffer.PoseBuffer — interpolation, slerp,
+    timeout extrapolation, and failure cases."""
+    from pointcloud_segmentation_tpu.runtime.posebuffer import PoseBuffer
+
+    rng = np.random.default_rng(11)
+    py = PoseBuffer(capacity=32, timeout=1.0)
+    nat = native.NativePoseBuffer(capacity=32, timeout=1.0)
+    ts = list(rng.uniform(0.0, 10.0, 40)) + [3.0, 3.0]  # dup timestamps
+    for t in ts:
+        q = rng.normal(size=4)
+        p = rng.normal(size=3)
+        py.push(t, p, q)
+        nat.push(t, p, q)
+    assert len(py) == len(nat) == 32
+    queries = list(rng.uniform(-2.0, 12.0, 60)) + [3.0, -1.5, 11.5]
+    for t in queries:
+        rp = py.lookup(t)
+        rn = nat.lookup(t)
+        assert (rp is None) == (rn is None), f"t={t}"
+        if rp is not None:
+            np.testing.assert_allclose(rn[0], rp[0], atol=1e-12)
+            np.testing.assert_allclose(rn[1], rp[1], atol=1e-12)
+
+
+@needs_native
+def test_native_csv_writers_byte_identical(tmp_path):
+    """The C++ writers must produce byte-identical files to runtime.csvio
+    (printf %.6g == C++ ofstream default == Python's :.6g) across magnitude
+    extremes."""
+    from pointcloud_segmentation_tpu.runtime import csvio
+
+    rng = np.random.default_rng(4)
+    vals = np.concatenate([
+        rng.normal(0, 1, 10), rng.normal(0, 1e-7, 5), rng.normal(0, 1e8, 5),
+        [0.0, -0.0, 1.0, -1.0, 123456.789, 1e-300, -1e300]])
+    segs = [{"a": vals[i:i+3], "b": vals[i+3:i+6],
+             "t_min": float(vals[i+6]), "t_max": float(vals[(i+7) % len(vals)])}
+            for i in range(0, 18, 6)]
+    inter = [(0, float(vals[1]), 2, float(vals[5])),
+             (1, -3.25e-9, 3, 7.0)]
+    recs = [{"wall_time": float(abs(vals[i]) * 1e6),
+             "processing_time": float(abs(vals[i+1]) * 1e3),
+             "seg_vec_size": int(i), "nblines": int(i * 2)}
+            for i in range(5)]
+    for name, py_fn, nat_fn, data in [
+            ("segments", csvio.write_segments_csv,
+             native.write_segments_csv, segs),
+            ("intersections", csvio.write_intersections_csv,
+             native.write_intersections_csv, inter),
+            ("processing", csvio.write_processing_time_csv,
+             native.write_processing_time_csv, recs)]:
+        p1 = str(tmp_path / f"{name}_py.csv")
+        p2 = str(tmp_path / f"{name}_nat.csv")
+        py_fn(p1, data)
+        nat_fn(p2, data)
+        with open(p1, "rb") as f1, open(p2, "rb") as f2:
+            assert f1.read() == f2.read(), name
+
+
+@needs_native
+def test_native_feeder_paces_and_drops(tmp_path):
+    """The C++ feeder replays a log into the mailbox + pose buffer; a slow
+    consumer sees latest-wins drops; a keeping-up consumer sees every
+    frame."""
+    frames = make_frames(20, 10, seed=8)
+    p = str(tmp_path / "feed.pcsl")
+    save_frames(p, frames)
+
+    # fast feed, slow consumer -> drops
+    mb = native.NativeMailbox(max_points=64)
+    pb = native.NativePoseBuffer()
+    f = native.NativeFeeder(p, mb, pb, rate_hz=0.0, loops=1,
+                            close_on_end=True)
+    time.sleep(0.3)
+    assert f.done
+    got = []
+    while True:
+        item = mb.take(timeout=0.1)
+        if item is None:
+            break
+        got.append(item)
+    assert f.stop() == 20
+    assert len(pb) == 20
+    assert len(got) >= 1 and got[-1][0] == frames[-1].t  # newest survived
+    assert mb.dropped >= 1
+
+    # paced feed, immediate consumer -> sees (nearly) all frames
+    mb2 = native.NativeMailbox(max_points=64)
+    f2 = native.NativeFeeder(p, mb2, None, rate_hz=200.0, loops=1,
+                             close_on_end=True)
+    seen = 0
+    while True:
+        item = mb2.take(timeout=1.0)
+        if item is None:
+            break
+        seen += 1
+    assert f2.stop() == 20
+    assert seen >= 15  # scheduler jitter may cost a few
+
+
+@needs_native
+def test_engine_run_streaming_from_log(tmp_path):
+    """End-to-end: native feeder -> native mailbox/pose buffer -> engine
+    consumer thread -> world map + CSVs, on the oracle backend."""
+    from pointcloud_segmentation_tpu.config import default_config
+    from pointcloud_segmentation_tpu.io.scene import (
+        OBS_TESTS_SCENE, WP_TESTS, trajectory_poses)
+    from pointcloud_segmentation_tpu.io.simulator import (
+        simulate_trajectory, TofSpec)
+    from pointcloud_segmentation_tpu.runtime.engine import SegmentationEngine
+
+    cfg = default_config(granularity=2, path_to_output=str(tmp_path))
+    poses = trajectory_poses(WP_TESTS, hz=2.0, velocity=0.3)[:6]
+    frames = simulate_trajectory(OBS_TESTS_SCENE, poses,
+                                 TofSpec(noise_frac=0.002), seed=0)
+    p = str(tmp_path / "scene.pcsl")
+    save_frames(p, frames)
+    eng = SegmentationEngine(cfg, backend="oracle")
+    assert isinstance(eng.mailbox, native.NativeMailbox)
+    assert isinstance(eng.poses, native.NativePoseBuffer)
+    stats = eng.run_streaming_from_log(p, rate_hz=20.0)
+    assert stats["fed"] == len(frames)
+    assert stats["processed"] + stats["dropped"] \
+        + eng.frames_skipped_no_pose >= stats["fed"]
+    assert stats["processed"] >= 1
+    assert len(eng.world_segments()) >= 1
+    paths = eng.finalize()
+    for pth in paths.values():
+        assert open(pth).readline().count(",") >= 2
