@@ -252,6 +252,30 @@ def bench_batched(cfg, frames, batch=8, reps=4):
             "batch": batch}
 
 
+def bench_large_sensor(n_frames=40):
+    """Scaling config: a 128x128 ToF (16,384 rays/frame — 4x the reference
+    sensor) through the full node loop.  Exercises the sort-based gap check
+    (N > 4096 would hit the O(N^2) rank-matrix wall) and the larger voxel
+    compaction; static caps max_raw_points=16384, max_points=6144 (measured
+    post-voxel occupancy on this trajectory peaks ~4-5k; 4096 truncates)."""
+    from pointcloud_segmentation_tpu.config import default_config, StaticShapes
+    from pointcloud_segmentation_tpu.io.scene import (
+        OBS_TESTS_SCENE, WP_TESTS, trajectory_poses)
+    from pointcloud_segmentation_tpu.io.simulator import simulate_trajectory, TofSpec
+
+    cfg = default_config(
+        granularity=4,
+        shapes=StaticShapes(max_raw_points=16384, max_points=6144,
+                            max_world_segments=64))
+    poses = trajectory_poses(WP_TESTS, hz=4.0, velocity=0.25)
+    while len(poses) < n_frames:
+        poses = poses + poses
+    frames = simulate_trajectory(
+        OBS_TESTS_SCENE, poses[:n_frames],
+        TofSpec(width=128, height=128, noise_frac=0.002), seed=0)
+    return bench_tpu(cfg, frames)
+
+
 def build_tower_frames(cfg, n_frames):
     from pointcloud_segmentation_tpu.io.scene import (
         tower_scene, spiral_waypoints, trajectory_poses)
@@ -323,6 +347,8 @@ def main():
         # config_pc_seg/config.yaml:22) — the reference-parity headline
         details["node_loop_g6"] = bench_tpu(cfg6, frames)
         log(f"node loop g6: {details['node_loop_g6']}")
+        details["large_sensor_128"] = bench_large_sensor()
+        log(f"large sensor 128x128: {details['large_sensor_128']}")
 
     if profile_dir:
         with jax.profiler.trace(profile_dir):
