@@ -157,6 +157,17 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_viz(args) -> int:
+    """Render a per-frame viz-stream JSONL (from `run --viz-stream`) into a
+    self-contained interactive HTML player — the offline RViz stand-in."""
+    from .viz import render_viz_stream_html
+
+    out = args.out or (os.path.splitext(args.stream)[0] + ".html")
+    n = render_viz_stream_html(args.stream, out)
+    print(f"{n} frames -> {out}")
+    return 0
+
+
 def cmd_eval(args) -> int:
     from .eval import match_report
     from .io.scene import scene_truth
@@ -284,6 +295,11 @@ def main(argv=None) -> int:
     pe.add_argument("--distance-threshold", type=float, default=0.5)
     pe.add_argument("--plots", action="store_true")
     pe.set_defaults(fn=cmd_eval)
+
+    pv = sub.add_parser("viz", help="viz-stream JSONL -> interactive HTML player")
+    pv.add_argument("stream", help="JSONL file from `run --viz-stream`")
+    pv.add_argument("-o", "--out", default=None, help="output .html path")
+    pv.set_defaults(fn=cmd_viz)
 
     pi = sub.add_parser("inspect", help="XLA cost analysis of the compiled step")
     _add_common(pi)

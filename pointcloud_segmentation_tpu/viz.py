@@ -110,3 +110,110 @@ def plot_cloud_and_segments(points: np.ndarray, segments: Sequence[dict],
     if out_path:
         fig.savefig(out_path, dpi=120)
     return fig
+
+
+def render_viz_stream_html(jsonl_path: str, out_html: str,
+                           title: str = "pointcloud_segmentation_tpu") -> int:
+    """Render a per-frame viz stream (engine ``viz_stream`` JSONL) into a
+    self-contained interactive HTML player — the offline stand-in for the
+    reference's live RViz view (node.cpp:676-842): world-segment cylinders
+    and intersection spheres, per frame, with playback + orbit controls.
+
+    No external assets or libraries; one file, opens anywhere.  Returns the
+    number of frames embedded.
+    """
+    import json as _json
+
+    frames = []
+    with open(jsonl_path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                frames.append(_json.loads(line))
+    data = _json.dumps(frames)
+    html = _VIZ_HTML_TEMPLATE.replace("__TITLE__", title).replace(
+        "__DATA__", data)
+    with open(out_html, "w") as f:
+        f.write(html)
+    return len(frames)
+
+
+_VIZ_HTML_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>__TITLE__</title>
+<style>
+ body{margin:0;background:#111;color:#ddd;font:13px sans-serif}
+ #hud{position:fixed;top:8px;left:8px;background:#000a;padding:8px 12px;
+      border-radius:6px}
+ #bar{position:fixed;bottom:8px;left:8px;right:8px;display:flex;gap:8px;
+      align-items:center;background:#000a;padding:8px;border-radius:6px}
+ #slider{flex:1}
+ button{background:#333;color:#ddd;border:1px solid #555;border-radius:4px;
+        padding:4px 10px;cursor:pointer}
+ canvas{display:block}
+</style></head><body>
+<canvas id="c"></canvas>
+<div id="hud"></div>
+<div id="bar"><button id="play">&#9654;</button>
+ <input id="slider" type="range" min="0" value="0">
+ <span id="lbl"></span></div>
+<script>
+const FRAMES = __DATA__;
+const cv = document.getElementById('c'), ctx = cv.getContext('2d');
+const hud = document.getElementById('hud'), lbl = document.getElementById('lbl');
+const slider = document.getElementById('slider'), playBtn = document.getElementById('play');
+slider.max = Math.max(FRAMES.length - 1, 0);
+let cur = 0, playing = false, yaw = 0.8, pitch = 0.45, zoom = 120, cxo = 0, czo = 1.0;
+function resize(){ cv.width = innerWidth; cv.height = innerHeight; draw(); }
+addEventListener('resize', resize);
+function proj(p){
+  const cy = Math.cos(yaw), sy = Math.sin(yaw), cp = Math.cos(pitch), sp = Math.sin(pitch);
+  const x = p[0]-cxo, y = p[1], z = p[2]-czo;
+  const xr = cy*x + sy*y, yr = -sy*x + cy*y;
+  const zr = cp*z - sp*yr, yr2 = sp*z + cp*yr;
+  return [cv.width/2 + xr*zoom, cv.height/2 - zr*zoom, yr2];
+}
+function line3(a, b, w, col){
+  const pa = proj(a), pb = proj(b);
+  ctx.strokeStyle = col; ctx.lineWidth = w;
+  ctx.beginPath(); ctx.moveTo(pa[0], pa[1]); ctx.lineTo(pb[0], pb[1]); ctx.stroke();
+}
+function draw(){
+  ctx.fillStyle = '#111'; ctx.fillRect(0, 0, cv.width, cv.height);
+  // ground grid
+  for (let i = -3; i <= 3; i++){
+    line3([i, -3, 0], [i, 3, 0], 1, '#222');
+    line3([-3, i, 0], [3, i, 0], 1, '#222');
+  }
+  line3([0,0,0],[0.5,0,0],2,'#a33'); line3([0,0,0],[0,0.5,0],2,'#3a3');
+  line3([0,0,0],[0,0,0.5],2,'#33a');
+  const fr = FRAMES[cur]; if (!fr) return;
+  for (const c of fr.cylinders){
+    const w = Math.max(2, c.radius * 2 * zoom);
+    line3(c.p1, c.p2, w, 'hsl(' + (c.id * 47 % 360) + ',70%,55%)');
+    const m = proj([(c.p1[0]+c.p2[0])/2,(c.p1[1]+c.p2[1])/2,(c.p1[2]+c.p2[2])/2]);
+    ctx.fillStyle = '#fff'; ctx.fillText(String(c.id), m[0] + 6, m[1] - 6);
+  }
+  for (const s of fr.intersections){
+    const p = proj(s.position);
+    ctx.fillStyle = '#ff0';
+    ctx.beginPath(); ctx.arc(p[0], p[1], 5, 0, 6.283); ctx.fill();
+  }
+  hud.innerHTML = 'frame <b>' + fr.frame + '</b> &nbsp; t=' + fr.t.toFixed(3)
+    + ' &nbsp; nlines=' + fr.nlines + ' &nbsp; world segments=<b>'
+    + fr.world_count + '</b> &nbsp; intersections=' + fr.intersections.length;
+  lbl.textContent = (cur + 1) + '/' + FRAMES.length;
+  slider.value = cur;
+}
+slider.oninput = () => { cur = +slider.value; draw(); };
+playBtn.onclick = () => { playing = !playing; playBtn.innerHTML = playing ? '&#10074;&#10074;' : '&#9654;'; };
+setInterval(() => { if (playing && FRAMES.length){ cur = (cur + 1) % FRAMES.length; draw(); } }, 120);
+let drag = null;
+cv.onmousedown = e => drag = [e.clientX, e.clientY];
+cv.onmousemove = e => { if (drag){ yaw += (e.clientX - drag[0]) * 0.008;
+  pitch = Math.max(-1.4, Math.min(1.4, pitch + (e.clientY - drag[1]) * 0.008));
+  drag = [e.clientX, e.clientY]; draw(); } };
+cv.onmouseup = () => drag = null;
+cv.onwheel = e => { zoom = Math.max(20, Math.min(600, zoom * (e.deltaY < 0 ? 1.1 : 0.9))); draw(); e.preventDefault(); };
+resize();
+</script></body></html>
+"""

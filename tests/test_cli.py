@@ -63,6 +63,24 @@ def test_cli_stream(tmp_path, capsys):
     assert os.path.exists(os.path.join(out, "processing_time.csv"))
 
 
+def test_cli_viz_stream_to_html(tmp_path, capsys):
+    """run --viz-stream -> viz: the per-frame marker stream renders into a
+    self-contained HTML player with every frame embedded."""
+    out = str(tmp_path / "outv")
+    stream = str(tmp_path / "stream.jsonl")
+    rc = main(["run", "--granularity", "2", "--backend", "oracle",
+               "--out", out, "--hz", "1.0", "--velocity", "0.5",
+               "--max-frames", "3", "--viz-stream", stream])
+    assert rc == 0
+    html = str(tmp_path / "viewer.html")
+    rc = main(["viz", stream, "-o", html])
+    assert rc == 0
+    assert "3 frames" in capsys.readouterr().out
+    doc = open(html).read()
+    assert "<canvas" in doc and "FRAMES" in doc
+    assert doc.count('"frame"') == 3      # all three records embedded
+
+
 def test_cli_with_reference_yaml(tmp_path, capsys):
     out = str(tmp_path / "out3")
     rc = main(["run", "--config", "/root/reference/config_pc_seg/config.yaml",
