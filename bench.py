@@ -276,6 +276,39 @@ def bench_large_sensor(n_frames=40):
     return bench_tpu(cfg, frames)
 
 
+def bench_streaming(cfg, frames, rates=(30.0, 100.0), loops=3):
+    """BASELINE config 4 — streaming map build through the PRODUCTION
+    runtime: native C++ feeder pacing clouds into the latest-wins mailbox +
+    pose buffer at sensor rate, consumer thread driving the jit'd step.
+    Reports sustained processed/s and the drop fraction per feed rate
+    (drops are the depth-1 mailbox's latest-wins behavior under load, like
+    the reference's queue-size-1 /tof_pc subscription)."""
+    import tempfile
+
+    from pointcloud_segmentation_tpu.io.replay import save_frames
+    from pointcloud_segmentation_tpu.runtime.engine import SegmentationEngine
+
+    log_path = os.path.join(tempfile.gettempdir(), "bench_stream.pcsl")
+    save_frames(log_path, frames)
+    out = {}
+    for rate in rates:
+        eng = SegmentationEngine(cfg)
+        # warm the compile outside the timed window
+        eng.push_pose(frames[0].t, frames[0].position, frames[0].quat_wxyz)
+        eng.process_frame(frames[0].t, frames[0].points)
+        t0 = time.perf_counter()
+        stats = eng.run_streaming_from_log(log_path, rate_hz=rate,
+                                           loops=loops)
+        dt = time.perf_counter() - t0
+        out[f"rate_{int(rate)}hz"] = {
+            "fed": stats["fed"],
+            "processed_per_sec": round(stats["processed"] / dt, 2),
+            "drop_fraction": round(stats["dropped"] / max(stats["fed"], 1), 3),
+            "world_segments": len(eng.world_segments()),
+        }
+    return out
+
+
 def build_tower_frames(cfg, n_frames):
     from pointcloud_segmentation_tpu.io.scene import (
         tower_scene, spiral_waypoints, trajectory_poses)
@@ -349,6 +382,8 @@ def main():
         log(f"node loop g6: {details['node_loop_g6']}")
         details["large_sensor_128"] = bench_large_sensor()
         log(f"large sensor 128x128: {details['large_sensor_128']}")
+        details["streaming_map_build"] = bench_streaming(cfg, frames)
+        log(f"streaming map build: {details['streaming_map_build']}")
 
     if profile_dir:
         with jax.profiler.trace(profile_dir):

@@ -97,6 +97,26 @@ def make_process_frame(cfg: PipelineConfig):
     return step
 
 
+def make_process_frame_packed(cfg: PipelineConfig):
+    """Like make_process_frame, but additionally returns the per-frame
+    host-bound scalars (world_count, nlines, status, overflow) packed into
+    ONE (4,) int32 array, so the host runtime pays a single device->host
+    readback per frame instead of four (each costs a full round-trip; on
+    the relayed testbed that is ~25 ms apiece — NB jax.device_get is NOT an
+    alternative: it takes ~90 s on the axon platform, see CLAUDE.md)."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, raw_points, position, quat_wxyz):
+        state, out = process_frame(state, raw_points, position, quat_wxyz,
+                                   cfg)
+        scalars = jnp.stack([
+            out.world_count.astype(jnp.int32), out.nlines.astype(jnp.int32),
+            out.status.astype(jnp.int32), out.overflow.astype(jnp.int32)])
+        return state, out, scalars
+
+    return step
+
+
 def make_batched_process(cfg: PipelineConfig):
     """jit-compiled multi-frame step: the per-frame stages (preproc, Hough,
     transform, cutoff) run vmapped over the batch and the order-dependent

@@ -75,7 +75,7 @@ class SegmentationEngine:
         if backend == "jax":
             import jax.numpy as jnp  # deferred so the oracle path is jax-free
             import jax
-            from ..pipeline import make_process_frame, init_world
+            from ..pipeline import make_process_frame_packed, init_world
 
             self._jnp = jnp
             self._jax = jax
@@ -86,7 +86,7 @@ class SegmentationEngine:
                     "compute_dtype='float64' needs jax_enable_x64 (set "
                     "jax.config.update('jax_enable_x64', True) or run under "
                     "jax.experimental.enable_x64())")
-            self._step = make_process_frame(cfg)
+            self._step = make_process_frame_packed(cfg)
             self._state = init_world(cfg)
         elif backend == "oracle":
             from .. import oracle
@@ -226,16 +226,21 @@ class SegmentationEngine:
     def _process_jax(self, points, position, quat) -> dict:
         jnp = self._jnp
         raw = jnp.asarray(self._pad_raw(points))
-        self._state, out = self._step(
+        self._state, out, scalars = self._step(
             self._state, raw,
             jnp.asarray(position, self._npdt), jnp.asarray(quat, self._npdt))
-        self._jax.block_until_ready(self._state)
+        # ONE device->host readback per frame: the step packs the four
+        # per-frame scalars into a (4,) int32 on device; reading them
+        # individually costs a full host<->device round-trip EACH (~25 ms
+        # apiece through this testbed's relay — 4x the frame's device
+        # time).  The read also synchronizes the step itself.  (Do NOT use
+        # jax.device_get here: ~90 s on the axon platform, CLAUDE.md.)
+        wc, nl, st, overflow = (int(v) for v in np.asarray(scalars))
         info = {
-            "world_count": int(out.world_count),
-            "nlines": int(out.nlines),
-            "status": int(out.status),
+            "world_count": wc,
+            "nlines": nl,
+            "status": st,
         }
-        overflow = int(out.overflow)
         if overflow:
             self.world_overflow_frames += 1
             logger.warning(
@@ -362,14 +367,14 @@ class SegmentationEngine:
             position, quat = pose
             start = self._now()
             raw = jnp.asarray(self._pad_raw(fr.points))
-            self._state, fout = self._step(
+            self._state, fout, scalars = self._step(
                 self._state, raw, jnp.asarray(position, self._npdt),
                 jnp.asarray(quat, self._npdt))
             end = self._now()
-            # keep only the two scalar counters on device: per-frame values
-            # are read back truthfully in ONE batched sync below, so the
-            # pipelined CSV matches the synchronous replay column-for-column
-            counters.append((fout.world_count, fout.nlines))
+            # keep only the packed scalar counters on device: per-frame
+            # values are read back truthfully in ONE batched sync below, so
+            # the pipelined CSV matches the synchronous replay column-for-column
+            counters.append(scalars)
             rec = {
                 "wall_time": (end - self._program_start) * 1e6,
                 "processing_time": (end - start) * 1e6,
@@ -381,12 +386,12 @@ class SegmentationEngine:
             self.frames_processed += 1
         if counters:
             t0 = self._now()
-            stacked = jnp.stack([jnp.stack(c) for c in counters])
+            stacked = jnp.stack(counters)   # (F, 4) int32
             vals = np.asarray(stacked)      # single device sync
             sync_us = (self._now() - t0) * 1e6
-            for rec, (wc, nl) in zip(out, vals):
-                rec["seg_vec_size"] = int(wc)
-                rec["nblines"] = max(int(nl), 0)
+            for rec, row in zip(out, vals):
+                rec["seg_vec_size"] = int(row[0])
+                rec["nblines"] = max(int(row[1]), 0)
             out[-1]["processing_time"] += sync_us
         return out
 
