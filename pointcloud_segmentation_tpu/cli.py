@@ -4,6 +4,9 @@ Subcommands:
   run      simulate (or replay) a trajectory through the pipeline, write the
            three reference CSVs (+ optional plots)
   record   simulate a trajectory and save a binary replay log
+  stream   replay a recorded log through the LIVE runtime at sensor rate
+           (C++ feeder -> latest-wins mailbox -> consumer thread)
+  viz      render a per-frame viz stream into an interactive HTML player
   eval     compare a segments.csv against the benchmark scene's ground truth
            with the reference match criteria (tests_structure.py analog)
   timing   analyze a processing_time.csv (proc_time_analysis.py analog)
@@ -11,6 +14,9 @@ Subcommands:
 Examples:
   python -m pointcloud_segmentation_tpu run --granularity 4 --out ./output_data
   python -m pointcloud_segmentation_tpu run --replay log.pcsl --backend oracle
+  python -m pointcloud_segmentation_tpu run --wbt path/to/world.wbt --out ./o
+  python -m pointcloud_segmentation_tpu record log.pcsl --max-frames 100
+  python -m pointcloud_segmentation_tpu stream log.pcsl --rate 30 --out ./o
   python -m pointcloud_segmentation_tpu eval ./output_data/segments.csv --plots
   python -m pointcloud_segmentation_tpu timing ./output_data/processing_time.csv
 """
@@ -71,6 +77,20 @@ def _scene_and_waypoints(name: str):
                      f"(choose obs_tests, dev, tower, mockup)")
 
 
+def _resolve_scene(args):
+    """Scene from --wbt (a real Webots world file, e.g. the reference's
+    flying_arena_ros_obs_tests.wbt — SEGn cylinders parsed as ground truth)
+    or from the named --scene registry."""
+    from .io import scene as S
+
+    if getattr(args, "wbt", None):
+        beams = S.parse_wbt_scene(args.wbt)
+        if not beams:
+            raise SystemExit(f"{args.wbt}: no DEF SEGn cylinders found")
+        return beams, S.WP_TESTS
+    return _scene_and_waypoints(getattr(args, "scene", "obs_tests"))
+
+
 def _frames(args, cfg):
     from .io.scene import trajectory_poses, load_waypoints_csv
     from .io.simulator import simulate_trajectory, TofSpec
@@ -79,7 +99,7 @@ def _frames(args, cfg):
         from .io.replay import load_frames
 
         return load_frames(args.replay)
-    scene, wps_default = _scene_and_waypoints(getattr(args, "scene", "obs_tests"))
+    scene, wps_default = _resolve_scene(args)
     wps = (load_waypoints_csv(args.waypoints)
            if getattr(args, "waypoints", None) else wps_default)
     poses = trajectory_poses(wps, hz=args.hz, velocity=args.velocity)
@@ -111,7 +131,7 @@ def cmd_run(args) -> int:
         from .eval import match_report
         from .io.scene import scene_truth
 
-        scene, _ = _scene_and_waypoints(args.scene)
+        scene, _ = _resolve_scene(args)
         truth = scene_truth(scene)
         proc = [dict(s, endpoints=[s["t_min"], s["t_max"]]) for s in segs]
         rep = match_report(truth, proc)
@@ -174,7 +194,7 @@ def cmd_eval(args) -> int:
     from .runtime.csvio import read_segments_csv
 
     proc = read_segments_csv(args.segments_csv)
-    scene, _ = _scene_and_waypoints(args.scene)
+    scene, _ = _resolve_scene(args)
     truth = scene_truth(scene)
     rep = match_report(truth, proc, args.angle_threshold, args.distance_threshold)
     out = {k: v for k, v in rep.items() if k != "matches"}
@@ -251,6 +271,9 @@ def main(argv=None) -> int:
                     choices=["obs_tests", "dev", "tower", "mockup"],
                     help="simulated world + default flight pattern")
     pr.add_argument("--replay", help="replay a recorded .pcsl frame log")
+    pr.add_argument("--wbt", help="Webots world file: fly the simulated "
+                                  "trajectory against its DEF SEGn cylinders "
+                                  "(e.g. the reference's obs_tests world)")
     pr.add_argument("--waypoints", help="reference-format waypoint CSV")
     pr.add_argument("--hz", type=float, default=4.0)
     pr.add_argument("--velocity", type=float, default=0.25)
@@ -268,6 +291,7 @@ def main(argv=None) -> int:
     pc.add_argument("log", help="output .pcsl path")
     pc.add_argument("--scene", default="obs_tests",
                     choices=["obs_tests", "dev", "tower", "mockup"])
+    pc.add_argument("--wbt", help="Webots world file (see run --wbt)")
     pc.add_argument("--waypoints")
     pc.add_argument("--hz", type=float, default=4.0)
     pc.add_argument("--velocity", type=float, default=0.25)
@@ -291,6 +315,7 @@ def main(argv=None) -> int:
     pe.add_argument("segments_csv")
     pe.add_argument("--scene", default="obs_tests",
                     choices=["obs_tests", "dev", "tower", "mockup"])
+    pe.add_argument("--wbt", help="ground truth from a Webots world file")
     pe.add_argument("--angle-threshold", type=float, default=0.1)
     pe.add_argument("--distance-threshold", type=float, default=0.5)
     pe.add_argument("--plots", action="store_true")

@@ -63,6 +63,23 @@ def test_cli_stream(tmp_path, capsys):
     assert os.path.exists(os.path.join(out, "processing_time.csv"))
 
 
+def test_cli_run_from_reference_wbt(tmp_path, capsys):
+    """--wbt: fly the simulated trajectory against the REFERENCE's actual
+    benchmark world file and evaluate against its parsed ground truth."""
+    wbt = "/root/reference/webots_project/worlds/flying_arena_ros_obs_tests.wbt"
+    out = str(tmp_path / "out_wbt")
+    rc = main(["run", "--granularity", "2", "--backend", "oracle",
+               "--out", out, "--hz", "2.0", "--velocity", "0.3",
+               "--wbt", wbt])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["eval", os.path.join(out, "segments.csv"), "--wbt", wbt])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["n_truth"] == 7
+    assert rep["recall"] >= 6 / 7
+
+
 def test_cli_viz_stream_to_html(tmp_path, capsys):
     """run --viz-stream -> viz: the per-frame marker stream renders into a
     self-contained HTML player with every frame embedded."""
