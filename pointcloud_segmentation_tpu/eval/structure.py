@@ -14,8 +14,14 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 
-def direction_angle(b1, b2) -> Tuple[bool, float]:
-    """(similar, angle) with antiparallel handling (tests_structure.py:55-66)."""
+def direction_angle(b1, b2) -> Tuple[float, float]:
+    """(folded_angle, raw_angle) with antiparallel handling
+    (tests_structure.py:55-66).
+
+    ``folded_angle`` is min(|angle|, |angle - pi|) — the line-direction
+    angle mod pi that callers compare against ``angle_threshold``;
+    ``raw_angle`` is the unfolded arccos of the unit dot product.
+    """
     b1 = np.asarray(b1, float)
     b2 = np.asarray(b2, float)
     b1 = b1 / np.linalg.norm(b1)

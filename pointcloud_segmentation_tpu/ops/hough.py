@@ -294,6 +294,25 @@ def _removed_cell_keys(Xs, c1, c2, d, dx, num_x, removed, n_rem, sub_chunk,
                      num_x_static * num_x_static)
 
 
+def _global_argmax_winner(M, b_idx, cell, dir_axis):
+    """Cross-shard reduction of per-shard vote winners to the global
+    (max count, lex-smallest global direction, that direction's cell).
+
+    Deliberately avoids a flat ``b_idx * cells + cell`` key: that product
+    overflows int32 once B_total * num_x^2 > 2^31 (granularity 6 with min
+    radius <= ~0.012 m), silently corrupting the argmax.  Shard direction
+    ranges are disjoint, so the oracle's lexicographic (b, xi, yi)
+    tie-break reduces to the smallest global direction index among the
+    max-count shards; the unique owning shard then contributes its
+    (already lex-smallest) cell via psum.
+    """
+    M_g = jax.lax.pmax(M, dir_axis)
+    bkey = jnp.where(M == M_g, b_idx, jnp.iinfo(jnp.int32).max)
+    b_min = jax.lax.pmin(bkey, dir_axis)
+    cell = jax.lax.psum(jnp.where(bkey == b_min, cell, 0), dir_axis)
+    return M_g, b_min, cell
+
+
 class _LoopState(NamedTuple):
     it: jnp.ndarray
     active: jnp.ndarray
@@ -511,14 +530,10 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
         # (see the closures above).  First-max tie-break == smallest
         # (b, xi, yi), matching the oracle.
         M, b_win, cell_win = _vstate_winner(s.vstate)
-        winner = (b_win + dir_offset) * cells + cell_win
+        b_idx = b_win + dir_offset
+        cell = cell_win
         if dir_axis is not None:
-            M_g = jax.lax.pmax(M, dir_axis)
-            winner = jnp.where(M == M_g, winner, jnp.iinfo(jnp.int32).max)
-            winner = jax.lax.pmin(winner, dir_axis)
-            M = M_g
-        b_idx = winner // cells
-        cell = winner % cells
+            M, b_idx, cell = _global_argmax_winner(M, b_idx, cell, dir_axis)
         # cell decode in f32 BY SPEC (oracle HoughSpace.get_line), result
         # promoted to the pipeline dtype
         xi = (cell // num_x_static).astype(jnp.float32)

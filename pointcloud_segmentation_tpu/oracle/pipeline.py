@@ -229,9 +229,12 @@ class HoughSpace:
         # flat key per (point, direction): b * num_x^2 + xi * num_x + yi
         base = np.arange(num_b, dtype=np.int64) * cells
         keys = base[None, :] + xi * self.num_x + yi
-        # chunk over directions to bound bincount memory at high granularity
+        # chunk over directions to bound BOTH the keys slice (chunk * n) and
+        # the bincount output (chunk * cells) — at granularity 6 a small
+        # cloud would otherwise pull every direction into one chunk and
+        # bincount would allocate num_b * num_x^2 int64s (multi-GB).
         best_count, best_key = 0, -1
-        chunk = max(1, int(2e7) // max(len(pts), 1))
+        chunk = max(1, int(2e7) // max(len(pts), cells, 1))
         for b0 in range(0, num_b, chunk):
             b1 = min(b0 + chunk, num_b)
             sub = keys[:, b0:b1] - base[b0]

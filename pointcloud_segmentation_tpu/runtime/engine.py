@@ -393,6 +393,16 @@ class SegmentationEngine:
                 rec["seg_vec_size"] = int(row[0])
                 rec["nblines"] = max(int(row[1]), 0)
             out[-1]["processing_time"] += sync_us
+            # D-CAP accounting matches the synchronous path (col 3 is the
+            # per-frame dropped-segment count at world-map capacity)
+            overflow = vals[:, 3]
+            self.world_overflow_frames += int((overflow > 0).sum())
+            if overflow.sum():
+                logger.warning(
+                    "world map full (max_world_segments=%d): dropped %d "
+                    "segment(s) across %d frame(s) (D-CAP)",
+                    self.cfg.shapes.max_world_segments, int(overflow.sum()),
+                    int((overflow > 0).sum()))
         return out
 
     # ---------------------------------------------------------------- streaming
@@ -425,7 +435,16 @@ class SegmentationEngine:
         self._running = False
         self.mailbox.close()
         if self._worker is not None:
+            # Block until the worker really exits: the first TPU compile
+            # inside process_frame can take 10-40 s, and returning while the
+            # worker still owns the (donated) world-state buffer would let
+            # finalize() read a torn/deleted array.  Warn while slow rather
+            # than abandoning a live thread.
             self._worker.join(timeout=10.0)
+            while self._worker.is_alive():
+                logger.warning("worker still busy (likely first-frame "
+                               "compile); waiting for a clean stop")
+                self._worker.join(timeout=30.0)
             self._worker = None
 
     def run_streaming_from_log(self, log_path: str, rate_hz: float = 30.0,
@@ -471,8 +490,10 @@ class SegmentationEngine:
                     fed += 1
                     if period:
                         _time.sleep(period)
-        # drain: wait until the worker has consumed the last fresh frame
-        deadline = _time.monotonic() + 10.0
+        # drain: wait until the worker has consumed the last fresh frame.
+        # The window must outlast a first-frame TPU compile (10-40 s), so it
+        # is generous and extends whenever the worker makes progress.
+        deadline = _time.monotonic() + 60.0
         while _time.monotonic() < deadline:
             before = self.frames_processed + self.frames_failed \
                 + self.frames_skipped_no_pose
@@ -481,6 +502,8 @@ class SegmentationEngine:
                 + self.frames_skipped_no_pose
             if after == before and after + self.dropped_frames >= fed:
                 break
+            if after != before:
+                deadline = _time.monotonic() + 60.0
         self.stop()
         return {"fed": int(fed), "processed": int(self.frames_processed),
                 "dropped": int(self.dropped_frames)}
@@ -501,14 +524,21 @@ class SegmentationEngine:
                     for s in self._wm.segments]
         st = self._state
         n = int(np.asarray(st.count))
+        # One device->host transfer per FIELD (not per segment per field):
+        # each readback is a full relay round-trip on the axon testbed.
         a = np.asarray(st.a)[:n]
         b = np.asarray(st.b)[:n]
+        t_min = np.asarray(st.t_min)[:n]
+        t_max = np.asarray(st.t_max)[:n]
+        radius = np.asarray(st.radius)[:n]
+        points_size = np.asarray(st.points_size)[:n]
+        pca_coeff = np.asarray(st.pca_coeff)[:n]
         return [{"a": a[i], "b": b[i],
-                 "t_min": float(np.asarray(st.t_min)[i]),
-                 "t_max": float(np.asarray(st.t_max)[i]),
-                 "radius": float(np.asarray(st.radius)[i]),
-                 "points_size": int(np.asarray(st.points_size)[i]),
-                 "pca_coeff": float(np.asarray(st.pca_coeff)[i])}
+                 "t_min": float(t_min[i]),
+                 "t_max": float(t_max[i]),
+                 "radius": float(radius[i]),
+                 "points_size": int(points_size[i]),
+                 "pca_coeff": float(pca_coeff[i])}
                 for i in range(n)]
 
     def intersections_rows(self) -> List[tuple]:

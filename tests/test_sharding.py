@@ -142,3 +142,37 @@ def test_dir_sharding_lazy_voting_parity():
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(r1[0].points_size)[v1],
                                   np.asarray(r2[0].points_size)[v2])
+
+
+def test_global_argmax_winner_no_int32_overflow():
+    """Cross-shard winner decode must be exact where a flat
+    b*cells+cell int32 key would wrap negative (B_total*num_x^2 > 2^31,
+    e.g. granularity 6 with min radius <= ~0.012 m)."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from pointcloud_segmentation_tpu.ops.hough import _global_argmax_winner
+
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("dir",))
+    # Per-shard winners: counts tie at 7.0 on shards 2, 5, 6; global
+    # direction indices and cells are in the overflow regime (the old flat
+    # key for shard 5 would be 19000*106276 + 99000 = 2.02e9 < 2^31 but
+    # shard 6's 20100*106276 = 2.14e9 > 2^31 wraps negative and would
+    # steal the argmax from shard 5's smaller direction).
+    M = jnp.array([1.0, 3.0, 7.0, 2.0, 0.0, 7.0, 7.0, 4.0], jnp.float32)
+    b_idx = jnp.array([100, 3000, 20400, 9000, 11000, 19000, 20100, 15000],
+                      jnp.int32)
+    cell = jnp.array([5, 17, 106275, 40, 8, 99000, 1, 106000], jnp.int32)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("dir"), P("dir"), P("dir")),
+             out_specs=(P(), P(), P()))
+    def run(m, b, c):
+        return _global_argmax_winner(m[0], b[0], c[0], "dir")
+
+    Mg, bg, cg = jax.jit(run)(M, b_idx, cell)
+    assert float(Mg) == 7.0
+    assert int(bg) == 19000      # smallest direction among the tied shards
+    assert int(cg) == 99000      # the cell of THAT shard, not a wrapped key
