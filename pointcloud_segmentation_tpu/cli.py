@@ -115,7 +115,8 @@ def cmd_run(args) -> int:
     cfg = _build_cfg(args)
     frames = _frames(args, cfg)
     eng = SegmentationEngine(cfg, backend=args.backend,
-                             viz_stream=args.viz_stream)
+                             viz_stream=args.viz_stream,
+                             viz_points=args.viz_points)
     eng.run_replay(frames)
     outdir = args.out or cfg.path_to_output
     paths = eng.finalize(outdir)
@@ -162,7 +163,8 @@ def cmd_stream(args) -> int:
 
     cfg = _build_cfg(args)
     eng = SegmentationEngine(cfg, backend=args.backend,
-                             viz_stream=args.viz_stream)
+                             viz_stream=args.viz_stream,
+                             viz_points=args.viz_points)
     stats = eng.run_streaming_from_log(args.log, rate_hz=args.rate,
                                        loops=args.loops)
     outdir = args.out or cfg.path_to_output
@@ -281,6 +283,10 @@ def main(argv=None) -> int:
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--max-frames", type=int, default=0)
     pr.add_argument("--plots", action="store_true")
+    pr.add_argument("--viz-points", action="store_true",
+                    help="embed per-frame filtered/hough point clouds in "
+                         "the viz stream (filtered_pointcloud / "
+                         "hough_pointcloud topics analog)")
     pr.add_argument("--viz-stream", default=None, metavar="JSONL",
                     help="write a per-frame marker stream (the RViz "
                          "re-publish loop analog) to this JSONL file")
@@ -309,6 +315,7 @@ def main(argv=None) -> int:
                     help="feed rate in Hz (0 = as fast as possible)")
     ps.add_argument("--loops", type=int, default=1)
     ps.add_argument("--viz-stream", default=None, metavar="JSONL")
+    ps.add_argument("--viz-points", action="store_true")
     ps.set_defaults(fn=cmd_stream)
 
     pe = sub.add_parser("eval", help="ground-truth accuracy of a segments.csv")

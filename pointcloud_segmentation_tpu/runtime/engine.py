@@ -41,11 +41,18 @@ class SegmentationEngine:
                  collect_inlier_points: bool = False,
                  checkpoint_every: int = 0,
                  checkpoint_path: Optional[str] = None,
-                 viz_stream: Optional[object] = None):
+                 viz_stream: Optional[object] = None,
+                 viz_points: bool = False):
         """viz_stream: per-frame visualization feed (the RViz re-publish
         loop analog, node.cpp:676-842).  A str/path appends one JSON line
         per processed frame (frame counters + the marker structures of
-        ``visualization()``); a callable receives the same dict instead."""
+        ``visualization()``); a callable receives the same dict instead.
+
+        viz_points: also embed the frame's world-frame point clouds in each
+        viz record — ``filtered_points`` (the `filtered_pointcloud` topic,
+        node.cpp:417-420) and ``hough_points`` (the accepted lines' inliers,
+        the `hough_pointcloud` topic, node.cpp:833-841).  Costs extra
+        device->host readbacks per frame; viz-only, off the perf path."""
         self.cfg = cfg
         self.backend = backend
         self.poses = self._make_pose_buffer()
@@ -61,6 +68,8 @@ class SegmentationEngine:
         self.checkpoint_path = checkpoint_path
         self._inlier_points: dict[int, list[np.ndarray]] = {}
         self._viz_stream = viz_stream
+        self._viz_points = viz_points
+        self._frame_points: Optional[dict] = None
         self._viz_file = None
         self._batched_step = None
         self._batched_size = 0
@@ -204,6 +213,13 @@ class SegmentationEngine:
                  "text": s["text"]}
                 for s in viz["intersections"]],
         }
+        if self._frame_points is not None:
+            cap = 4096
+            rec["filtered_points"] = np.round(
+                self._frame_points["filtered"][:cap], 4).tolist()
+            rec["hough_points"] = np.round(
+                self._frame_points["hough"][:cap], 4).tolist()
+            self._frame_points = None
         if callable(self._viz_stream):
             self._viz_stream(rec)
             return
@@ -249,7 +265,29 @@ class SegmentationEngine:
                 self.cfg.shapes.max_world_segments, overflow)
         if self.collect_inlier_points:
             self._collect_points_jax(out, position, quat)
+        if self._viz_stream is not None and self._viz_points:
+            self._frame_points = self._frame_points_jax(out, position, quat)
         return info
+
+    def _frame_points_jax(self, out, position, quat) -> dict:
+        """World-frame per-frame clouds for the viz stream: the filtered
+        cloud and the accepted lines' inlier points (the reference's
+        `filtered_pointcloud` / `hough_pointcloud` topics)."""
+        from .. import geometry
+
+        filtered = np.asarray(out.filtered)
+        fvalid = np.asarray(out.filtered_valid).astype(bool)
+        masks = np.asarray(out.segments.point_mask)
+        svalid = np.asarray(out.segments.valid).astype(bool)
+        R = np.array(geometry.quat_to_rot(*np.asarray(quat, np.float64)))
+        pos = np.asarray(position, np.float64)
+        world = filtered[fvalid] @ R.T + pos
+        if svalid.any():
+            inl = masks[svalid].any(axis=0) & fvalid
+            hough = filtered[inl] @ R.T + pos
+        else:
+            hough = np.zeros((0, 3))
+        return {"filtered": world, "hough": hough}
 
     def _collect_points_jax(self, out, position, quat) -> None:
         from .. import geometry
@@ -270,6 +308,15 @@ class SegmentationEngine:
         res = self._oracle.process_frame(
             self._wm, np.asarray(points, np.float64).reshape(-1, 3),
             np.asarray(position), np.asarray(quat), self.cfg)
+        if self._viz_stream is not None and self._viz_points:
+            from .. import geometry
+
+            filtered = self._oracle.cloud_filtering(
+                np.asarray(points, np.float64).reshape(-1, 3), self.cfg)
+            R = np.array(geometry.quat_to_rot(*np.asarray(quat, np.float64)))
+            self._frame_points = {
+                "filtered": filtered @ R.T + np.asarray(position),
+                "hough": np.zeros((0, 3))}
         return {
             "world_count": len(self._wm.segments),
             "nlines": res.nblines,

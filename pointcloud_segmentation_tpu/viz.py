@@ -187,6 +187,12 @@ function draw(){
   line3([0,0,0],[0.5,0,0],2,'#a33'); line3([0,0,0],[0,0.5,0],2,'#3a3');
   line3([0,0,0],[0,0,0.5],2,'#33a');
   const fr = FRAMES[cur]; if (!fr) return;
+  if (fr.filtered_points){ ctx.fillStyle = '#667';
+    for (const p of fr.filtered_points){ const q = proj(p);
+      ctx.fillRect(q[0], q[1], 2, 2); } }
+  if (fr.hough_points){ ctx.fillStyle = '#fa0';
+    for (const p of fr.hough_points){ const q = proj(p);
+      ctx.fillRect(q[0]-1, q[1]-1, 3, 3); } }
   for (const c of fr.cylinders){
     const w = Math.max(2, c.radius * 2 * zoom);
     line3(c.p1, c.p2, w, 'hsl(' + (c.id * 47 % 360) + ',70%,55%)');

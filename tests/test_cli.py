@@ -117,3 +117,30 @@ def test_cli_scene_selection(tmp_path, capsys):
     rc = main(["eval", os.path.join(out, "segments.csv"), "--scene", "mockup"])
     rep = json.loads(capsys.readouterr().out)
     assert rep["n_truth"] == 20          # the mockup scaffold's beam count
+
+
+def test_cli_viz_points_feed(tmp_path, capsys):
+    """--viz-points embeds the frame's world-frame clouds in each record —
+    the filtered_pointcloud / hough_pointcloud topics analog
+    (node.cpp:417-420, 833-841) — on both backends."""
+    for backend in ("jax", "oracle"):
+        stream = str(tmp_path / f"pts_{backend}.jsonl")
+        rc = main(["run", "--granularity", "2", "--backend", backend,
+                   "--out", str(tmp_path / f"outp_{backend}"),
+                   "--hz", "1.0", "--velocity", "0.5", "--max-frames", "2",
+                   "--viz-stream", stream, "--viz-points"])
+        assert rc == 0
+        recs = [json.loads(l) for l in open(stream)]
+        assert len(recs) == 2
+        for r in recs:
+            assert "filtered_points" in r and "hough_points" in r
+            pts = np.asarray(r["filtered_points"])
+            assert pts.ndim == 2 and pts.shape[1] == 3 and len(pts) > 0
+            assert np.isfinite(pts).all()
+            # world frame: the filtered window is drone-local [0,1.5] fwd;
+            # transformed points should sit near the scene, not at origin
+            assert np.abs(pts).max() < 10.0
+        # the jax path also exposes the accepted lines' inliers
+        if backend == "jax" and any(r["nlines"] > 0 for r in recs):
+            assert any(len(r["hough_points"]) > 0
+                       for r in recs if r["nlines"] > 0)
