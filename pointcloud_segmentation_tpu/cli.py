@@ -47,6 +47,8 @@ def _build_cfg(args):
         overrides["granularity"] = args.granularity
     if getattr(args, "opt_nlines", None) is not None:
         overrides["opt_nlines"] = args.opt_nlines
+    if getattr(args, "surface_offset", False):
+        overrides["surface_offset_correction"] = True
     if args.out:
         overrides["path_to_output"] = args.out
     if args.config:
@@ -283,6 +285,10 @@ def main(argv=None) -> int:
     pr.add_argument("--seed", type=int, default=0)
     pr.add_argument("--max-frames", type=int, default=0)
     pr.add_argument("--plots", action="store_true")
+    pr.add_argument("--surface-offset", action="store_true",
+                    help="enable the E-OFFSET axis-bias correction "
+                         "(report §6.3 ground-truth offset; opt-in "
+                         "accuracy extension beyond the reference)")
     pr.add_argument("--viz-points", action="store_true",
                     help="embed per-frame filtered/hough point clouds in "
                          "the viz stream (filtered_pointcloud / "

@@ -96,6 +96,14 @@ class PipelineConfig:
     # auto (None) resolves to False; the kernel remains available for
     # experimentation and future fused add/subtract designs.
     use_pallas: bool | None = None
+    # Accuracy extension (opt-in, beyond the reference): compensate the
+    # report's §6.3 "Ground Truth Offset" — ToF returns lie on the beam
+    # SURFACE facing the sensor, so every fitted axis is biased toward the
+    # sensor by ~one beam radius.  When True, each accepted frame segment's
+    # axis is shifted by its matched radius along the sensor->line
+    # perpendicular (drone frame, pre-fusion).  Default False = reference
+    # behavior (documented deviation E-OFFSET in README.md).
+    surface_offset_correction: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "radius_sizes", tuple(float(r) for r in self.radius_sizes))

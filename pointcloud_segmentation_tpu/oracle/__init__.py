@@ -9,6 +9,7 @@ from .pipeline import (
     orthogonal_lsq,
     seg_pca_eigenvalues,
     drone_to_world,
+    surface_offset_correction,
     height_cutoff,
     check_similarity,
     check_connections,
@@ -18,6 +19,7 @@ from .pipeline import (
 __all__ = [
     "Segment", "WorldMap", "FrameResult", "cloud_filtering",
     "passthrough_filter", "voxel_grid", "hough3dlines", "orthogonal_lsq",
-    "seg_pca_eigenvalues", "drone_to_world", "height_cutoff",
+    "seg_pca_eigenvalues", "drone_to_world", "surface_offset_correction",
+    "height_cutoff",
     "check_similarity", "check_connections", "process_frame",
 ]

@@ -381,6 +381,22 @@ def hough3dlines(points: np.ndarray, cfg: PipelineConfig,
 # Frame transform + floor cutoff (node.cpp:429-470)
 # --------------------------------------------------------------------------
 
+def surface_offset_correction(segments: List[Segment]) -> None:
+    """In-place opt-in accuracy extension (E-OFFSET, beyond the reference):
+    undo the report's §6.3 "Ground Truth Offset" — ToF returns lie on the
+    beam SURFACE facing the sensor, biasing the fitted axis toward the
+    sensor by ~one radius.  Drone frame (sensor at origin): shift each axis
+    by its matched radius along the sensor->line perpendicular.  Lines
+    through the origin are left untouched.  Mirrors
+    pipeline.surface_offset_correction (the device path)."""
+    for s in segments:
+        bn = s.b / max(np.linalg.norm(s.b), 1e-12)
+        perp = s.a - (s.a @ bn) * bn
+        nrm = np.linalg.norm(perp)
+        if nrm > 1e-6:
+            s.a = s.a + s.radius * perp / nrm
+
+
 def drone_to_world(segments: List[Segment], position: np.ndarray,
                    quat_wxyz: np.ndarray) -> None:
     """In-place a <- R a + p, b <- R b, points <- R pts + p (node.cpp:429-446)."""
@@ -578,6 +594,8 @@ def process_frame(world: WorldMap, points: np.ndarray, position: np.ndarray,
     """One frame: filter -> hough -> transform -> cutoff -> fuse (+intersections)."""
     filtered = cloud_filtering(np.asarray(points, dtype=np.float64), cfg)
     segs, nlines, status = hough3dlines(filtered, cfg)
+    if cfg.surface_offset_correction:
+        surface_offset_correction(segs)
     drone_to_world(segs, np.asarray(position, dtype=np.float64),
                    np.asarray(quat_wxyz, dtype=np.float64))
     segs = height_cutoff(segs, cfg.floor_trim_height)

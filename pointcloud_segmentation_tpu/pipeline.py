@@ -51,6 +51,23 @@ def transform_segments(segs: SegmentBatch, position: jnp.ndarray,
     return segs._replace(a=segs.a @ R.T + p, b=segs.b @ R.T)
 
 
+def surface_offset_correction(segs: SegmentBatch) -> SegmentBatch:
+    """Opt-in accuracy extension (E-OFFSET, beyond the reference): undo the
+    report's §6.3 "Ground Truth Offset".  ToF returns lie on the beam
+    SURFACE facing the sensor, so the fitted axis is biased toward the
+    sensor by about one beam radius.  In the drone frame the sensor sits at
+    the origin: shift each accepted axis by its matched radius along the
+    perpendicular from the sensor to the line (away from the sensor).
+    Degenerate lines through the origin are left untouched."""
+    bn = segs.b / jnp.maximum(
+        jnp.linalg.norm(segs.b, axis=1, keepdims=True), 1e-12)
+    perp = segs.a - jnp.sum(segs.a * bn, axis=1, keepdims=True) * bn
+    nrm = jnp.linalg.norm(perp, axis=1, keepdims=True)
+    shift = segs.radius[:, None] * perp / jnp.maximum(nrm, 1e-12)
+    ok = (segs.valid & (nrm[:, 0] > 1e-6))[:, None]
+    return segs._replace(a=jnp.where(ok, segs.a + shift, segs.a))
+
+
 def height_cutoff(segs: SegmentBatch, floor_trim_height: float) -> SegmentBatch:
     """heighSegmentCutoff (node.cpp:454-470): keep iff either endpoint above."""
     p1 = segs.t_min[:, None] * segs.b + segs.a
@@ -73,7 +90,10 @@ def process_frame(state: WorldState, raw_points: jnp.ndarray,
     filtered, fvalid, fcount = preprocess(raw_points, cfg)
     hough: HoughResult = extract_lines(filtered, fvalid, cfg)
 
-    segs = transform_segments(hough.segments, position, quat_wxyz)
+    frame_segs = hough.segments
+    if cfg.surface_offset_correction:
+        frame_segs = surface_offset_correction(frame_segs)
+    segs = transform_segments(frame_segs, position, quat_wxyz)
     segs = height_cutoff(segs, cfg.floor_trim_height)
 
     state, slots = world_step(state, segs, cfg)
@@ -144,7 +164,10 @@ def make_batched_process(cfg: PipelineConfig):
     def frame(raw, pos, quat):
         filtered, fvalid, _ = preprocess(raw.astype(dt), cfg)
         res = extract_lines(filtered, fvalid, cfg)
-        segs = transform_segments(res.segments, pos.astype(dt),
+        fsegs = res.segments
+        if cfg.surface_offset_correction:
+            fsegs = surface_offset_correction(fsegs)
+        segs = transform_segments(fsegs, pos.astype(dt),
                                   quat.astype(dt))
         segs = height_cutoff(segs, cfg.floor_trim_height)
         return segs, res.nlines, res.status
@@ -166,5 +189,5 @@ def make_batched_process(cfg: PipelineConfig):
 __all__ = [
     "FrameOutput", "WorldState", "init_world", "process_frame",
     "make_process_frame", "make_batched_process", "transform_segments",
-    "height_cutoff", "compute_dtype",
+    "height_cutoff", "surface_offset_correction", "compute_dtype",
 ]
