@@ -229,3 +229,20 @@ def test_engine_run_streaming_from_log(tmp_path):
     paths = eng.finalize()
     for pth in paths.values():
         assert open(pth).readline().count(",") >= 2
+
+
+def test_native_mailbox_oversized_cloud_truncates():
+    """A cloud larger than the mailbox capacity must come back truncated to
+    the bytes actually copied — not raise in frombuffer and kill the
+    consumer (the C++ side clamps the copy; the Python side clamps npts)."""
+    native = pytest.importorskip("pointcloud_segmentation_tpu.native")
+    if not native.available():
+        pytest.skip("native runtime not built")
+    mb = native.NativeMailbox(max_points=64)
+    big = np.arange(200 * 3, dtype=np.float32).reshape(200, 3)
+    mb.put((1.5, big))
+    t, pts = mb.take(timeout=1.0)
+    assert t == 1.5
+    assert pts.shape == (64, 3)
+    np.testing.assert_array_equal(pts, big[:64])
+    mb.close()
