@@ -53,6 +53,16 @@ def get_similar_segments(truth: Sequence[dict], processed: Sequence[dict],
     return out
 
 
+def radial_error(tseg: dict, pseg: dict) -> float:
+    """Midpoint error perpendicular to the TRUTH axis — the component the
+    report's §6.3 surface-sampling bias (and E-OFFSET) lives in; the axial
+    remainder reflects observed-extent mismatch, not axis accuracy."""
+    bt = np.asarray(tseg["b"], float)
+    bt = bt / np.linalg.norm(bt)
+    d = midpoint(pseg) - midpoint(tseg)
+    return float(np.linalg.norm(d - (d @ bt) * bt))
+
+
 def match_report(truth: Sequence[dict], processed: Sequence[dict],
                  angle_threshold: float = 0.1,
                  distance_threshold: float = 0.5) -> dict:
@@ -61,6 +71,7 @@ def match_report(truth: Sequence[dict], processed: Sequence[dict],
                                    distance_threshold)
     matched_truth = sorted({m[0] for m in matches})
     matched_proc = sorted({m[1] for m in matches})
+    radial = [radial_error(truth[m[0]], processed[m[1]]) for m in matches]
     return {
         "matches": matches,
         "n_truth": len(truth),
@@ -70,4 +81,5 @@ def match_report(truth: Sequence[dict], processed: Sequence[dict],
         "recall": len(matched_truth) / len(truth) if truth else 0.0,
         "mean_angle_error": float(np.mean([m[3] for m in matches])) if matches else float("nan"),
         "mean_distance_error": float(np.mean([m[2] for m in matches])) if matches else float("nan"),
+        "mean_radial_error": float(np.mean(radial)) if radial else float("nan"),
     }

@@ -107,3 +107,7 @@ def test_end_to_end_distance_error_reduced(backend):
     # should cut the mean midpoint error by at least ~2x
     assert base["mean_distance_error"] > 0.03
     assert corr["mean_distance_error"] < base["mean_distance_error"] * 0.6
+    # the RADIAL component is what the correction targets: it should
+    # collapse well below the uncorrected ~radius-sized bias
+    assert base["mean_radial_error"] > 0.025
+    assert corr["mean_radial_error"] < base["mean_radial_error"] * 0.5
