@@ -181,6 +181,23 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Serve the engine over TCP (runtime/server.py): clients stream
+    binary frames (the PCSL record format) and query/flush the world map —
+    the deployable analog of the reference's ROS node loop."""
+    from .runtime import SegmentationEngine
+    from .runtime.server import SegmentationServer
+
+    cfg = _build_cfg(args)
+    eng = SegmentationEngine(cfg, backend=args.backend)
+    srv = SegmentationServer(eng, host=args.host, port=args.port,
+                             outdir=args.out or cfg.path_to_output)
+    print(f"serving on {srv.host}:{srv.port}", flush=True)
+    out = srv.serve_forever()
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_viz(args) -> int:
     """Render a per-frame viz-stream JSONL (from `run --viz-stream`) into a
     self-contained interactive HTML player — the offline RViz stand-in."""
@@ -323,6 +340,14 @@ def main(argv=None) -> int:
     ps.add_argument("--viz-stream", default=None, metavar="JSONL")
     ps.add_argument("--viz-points", action="store_true")
     ps.set_defaults(fn=cmd_stream)
+
+    px = sub.add_parser("serve", help="serve the engine over TCP "
+                        "(binary frame stream in, world-map queries out)")
+    _add_common(px)
+    px.add_argument("--host", default="127.0.0.1")
+    px.add_argument("--port", type=int, default=0,
+                    help="TCP port (0 = ephemeral, printed at startup)")
+    px.set_defaults(fn=cmd_serve)
 
     pe = sub.add_parser("eval", help="ground-truth accuracy of a segments.csv")
     pe.add_argument("segments_csv")

@@ -73,6 +73,14 @@ class SegmentationEngine:
         self._viz_file = None
         self._batched_step = None
         self._batched_size = 0
+        # Guards self._state against the donation race: each jitted step
+        # DONATES the world-state buffer, so a reader (world_segments /
+        # intersections / checkpoint, e.g. a server thread answering a
+        # query mid-stream) that grabs self._state between the dispatch
+        # and the reassignment converts a deleted buffer ("Array has been
+        # deleted").  Writers hold it across dispatch+swap; readers hold
+        # it across their device->host conversions.
+        self._state_lock = threading.Lock()
         self._program_start: Optional[float] = None
         self._worker: Optional[threading.Thread] = None
         self._running = False
@@ -242,9 +250,11 @@ class SegmentationEngine:
     def _process_jax(self, points, position, quat) -> dict:
         jnp = self._jnp
         raw = jnp.asarray(self._pad_raw(points))
-        self._state, out, scalars = self._step(
-            self._state, raw,
-            jnp.asarray(position, self._npdt), jnp.asarray(quat, self._npdt))
+        with self._state_lock:
+            self._state, out, scalars = self._step(
+                self._state, raw,
+                jnp.asarray(position, self._npdt),
+                jnp.asarray(quat, self._npdt))
         # ONE device->host readback per frame: the step packs the four
         # per-frame scalars into a (4,) int32 on device; reading them
         # individually costs a full host<->device round-trip EACH (~25 ms
@@ -380,9 +390,10 @@ class SegmentationEngine:
                 poss[i], quats[i] = pose
                 live.append(i)
             start = self._now()
-            self._state, nlines, statuses, counts = step(
-                self._state, jnp.asarray(clouds), jnp.asarray(poss),
-                jnp.asarray(quats))
+            with self._state_lock:
+                self._state, nlines, statuses, counts = step(
+                    self._state, jnp.asarray(clouds), jnp.asarray(poss),
+                    jnp.asarray(quats))
             nl = np.asarray(nlines)
             wc = np.asarray(counts)       # one sync per chunk
             end = self._now()
@@ -414,9 +425,10 @@ class SegmentationEngine:
             position, quat = pose
             start = self._now()
             raw = jnp.asarray(self._pad_raw(fr.points))
-            self._state, fout, scalars = self._step(
-                self._state, raw, jnp.asarray(position, self._npdt),
-                jnp.asarray(quat, self._npdt))
+            with self._state_lock:
+                self._state, fout, scalars = self._step(
+                    self._state, raw, jnp.asarray(position, self._npdt),
+                    jnp.asarray(quat, self._npdt))
             end = self._now()
             # keep only the packed scalar counters on device: per-frame
             # values are read back truthfully in ONE batched sync below, so
@@ -569,17 +581,19 @@ class SegmentationEngine:
                      "radius": s.radius, "points_size": s.points_size,
                      "pca_coeff": s.pca_coeff}
                     for s in self._wm.segments]
-        st = self._state
-        n = int(np.asarray(st.count))
         # One device->host transfer per FIELD (not per segment per field):
         # each readback is a full relay round-trip on the axon testbed.
-        a = np.asarray(st.a)[:n]
-        b = np.asarray(st.b)[:n]
-        t_min = np.asarray(st.t_min)[:n]
-        t_max = np.asarray(st.t_max)[:n]
-        radius = np.asarray(st.radius)[:n]
-        points_size = np.asarray(st.points_size)[:n]
-        pca_coeff = np.asarray(st.pca_coeff)[:n]
+        # The lock keeps the worker from donating st out from under us.
+        with self._state_lock:
+            st = self._state
+            n = int(np.asarray(st.count))
+            a = np.asarray(st.a)[:n]
+            b = np.asarray(st.b)[:n]
+            t_min = np.asarray(st.t_min)[:n]
+            t_max = np.asarray(st.t_max)[:n]
+            radius = np.asarray(st.radius)[:n]
+            points_size = np.asarray(st.points_size)[:n]
+            pca_coeff = np.asarray(st.pca_coeff)[:n]
         return [{"a": a[i], "b": b[i],
                  "t_min": float(t_min[i]),
                  "t_max": float(t_max[i]),
@@ -592,9 +606,10 @@ class SegmentationEngine:
         """(seg1, t1, seg2, t2) rows, upper-triangular order (node.cpp:858)."""
         if self.backend == "oracle":
             return self._wm.intersections_rows()
-        st = self._state
-        n = int(np.asarray(st.count))
-        inter = np.asarray(st.inter)[:n, :n]
+        with self._state_lock:
+            st = self._state
+            n = int(np.asarray(st.count))
+            inter = np.asarray(st.inter)[:n, :n]
         rows = []
         for i in range(n):
             for j in range(i):
@@ -646,9 +661,12 @@ class SegmentationEngine:
                 dtype=np.float64).reshape(-1, 4),
         }
         if self.backend == "jax":
-            for k in ("a", "b", "t_min", "t_max", "radius", "points_size",
-                      "pca_coeff", "pca_eigenvalues", "valid", "count", "inter"):
-                payload[f"world_{k}"] = np.asarray(getattr(self._state, k))
+            with self._state_lock:   # one consistent state snapshot
+                for k in ("a", "b", "t_min", "t_max", "radius",
+                          "points_size", "pca_coeff", "pca_eigenvalues",
+                          "valid", "count", "inter"):
+                    payload[f"world_{k}"] = np.asarray(
+                        getattr(self._state, k))
         else:
             segs = self._wm.segments
             payload["world_count"] = np.array(len(segs))
