@@ -250,18 +250,29 @@ class SegmentationEngine:
     def _process_jax(self, points, position, quat) -> dict:
         jnp = self._jnp
         raw = jnp.asarray(self._pad_raw(points))
+        # The lock covers the dispatch AND every device->host read of this
+        # frame: besides the donation race (see __init__), the axon relay
+        # WEDGES if two threads block in synchronous host reads at the same
+        # time (both stuck in array._value indefinitely — observed between
+        # a server-thread world_segments() and this scalar readback).  All
+        # device access therefore serializes through _state_lock.
         with self._state_lock:
             self._state, out, scalars = self._step(
                 self._state, raw,
                 jnp.asarray(position, self._npdt),
                 jnp.asarray(quat, self._npdt))
-        # ONE device->host readback per frame: the step packs the four
-        # per-frame scalars into a (4,) int32 on device; reading them
-        # individually costs a full host<->device round-trip EACH (~25 ms
-        # apiece through this testbed's relay — 4x the frame's device
-        # time).  The read also synchronizes the step itself.  (Do NOT use
-        # jax.device_get here: ~90 s on the axon platform, CLAUDE.md.)
-        wc, nl, st, overflow = (int(v) for v in np.asarray(scalars))
+            # ONE device->host readback per frame: the step packs the four
+            # per-frame scalars into a (4,) int32 on device; reading them
+            # individually costs a full host<->device round-trip EACH
+            # (~25 ms apiece through this testbed's relay — 4x the frame's
+            # device time).  The read also synchronizes the step itself.
+            # (Do NOT use jax.device_get here: ~90 s on axon, CLAUDE.md.)
+            wc, nl, st, overflow = (int(v) for v in np.asarray(scalars))
+            if self.collect_inlier_points:
+                self._collect_points_jax(out, position, quat)
+            if self._viz_stream is not None and self._viz_points:
+                self._frame_points = self._frame_points_jax(
+                    out, position, quat)
         info = {
             "world_count": wc,
             "nlines": nl,
@@ -273,10 +284,6 @@ class SegmentationEngine:
                 "world map full (max_world_segments=%d): dropped %d "
                 "segment(s) this frame (D-CAP)",
                 self.cfg.shapes.max_world_segments, overflow)
-        if self.collect_inlier_points:
-            self._collect_points_jax(out, position, quat)
-        if self._viz_stream is not None and self._viz_points:
-            self._frame_points = self._frame_points_jax(out, position, quat)
         return info
 
     def _frame_points_jax(self, out, position, quat) -> dict:
@@ -394,8 +401,8 @@ class SegmentationEngine:
                 self._state, nlines, statuses, counts = step(
                     self._state, jnp.asarray(clouds), jnp.asarray(poss),
                     jnp.asarray(quats))
-            nl = np.asarray(nlines)
-            wc = np.asarray(counts)       # one sync per chunk
+                nl = np.asarray(nlines)
+                wc = np.asarray(counts)   # one sync per chunk
             end = self._now()
             per = (end - start) / max(len(live), 1)
             for i in live:
@@ -445,8 +452,9 @@ class SegmentationEngine:
             self.frames_processed += 1
         if counters:
             t0 = self._now()
-            stacked = jnp.stack(counters)   # (F, 4) int32
-            vals = np.asarray(stacked)      # single device sync
+            with self._state_lock:
+                stacked = jnp.stack(counters)   # (F, 4) int32
+                vals = np.asarray(stacked)      # single device sync
             sync_us = (self._now() - t0) * 1e6
             for rec, row in zip(out, vals):
                 rec["seg_vec_size"] = int(row[0])
