@@ -154,7 +154,9 @@ def make_batched_process(cfg: PipelineConfig):
 
     Signature: step(state, clouds (F, N_raw, 3), positions (F, 3),
     quats (F, 4)) -> (state', nlines (F,), statuses (F,),
-    world_counts (F,) — the world size after each frame's fusion).
+    world_counts (F,) — the world size after each frame's fusion,
+    overflows (F,) — segments dropped at max_world_segments per frame,
+    D-CAP).
     """
     from .ops.preproc import preprocess
     from .ops.hough import extract_lines
@@ -177,11 +179,12 @@ def make_batched_process(cfg: PipelineConfig):
         segs, nlines, statuses = jax.vmap(frame)(clouds, positions, quats)
 
         def fuse(st, seg):
-            st, _slots = world_step(st, seg, cfg)
-            return st, st.count
+            st, slots = world_step(st, seg, cfg)
+            overflow = (seg.valid & (slots == -1)).sum().astype(jnp.int32)
+            return st, (st.count, overflow)
 
-        state, counts = jax.lax.scan(fuse, state, segs)
-        return state, nlines, statuses, counts
+        state, (counts, overflows) = jax.lax.scan(fuse, state, segs)
+        return state, nlines, statuses, counts, overflows
 
     return step
 

@@ -24,7 +24,7 @@ import logging
 import os
 import threading
 import time
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -58,6 +58,7 @@ class SegmentationEngine:
         self.poses = self._make_pose_buffer()
         self.mailbox = self._make_mailbox()
         self.records: List[dict] = []
+        self.frames_submitted = 0       # clouds entered via submit_cloud
         self.frames_processed = 0
         self.frames_skipped_no_pose = 0
         self.frames_failed = 0          # streaming frames that raised
@@ -145,6 +146,7 @@ class SegmentationEngine:
 
     def submit_cloud(self, t: float, points: np.ndarray) -> None:
         """Streaming input: latest-wins; stale unprocessed frames are dropped."""
+        self.frames_submitted += 1
         self.mailbox.put((t, points))
 
     # ---------------------------------------------------------------- core
@@ -322,9 +324,12 @@ class SegmentationEngine:
             self._inlier_points.setdefault(slot, []).append(pts)
 
     def _process_oracle(self, points, position, quat) -> dict:
-        res = self._oracle.process_frame(
-            self._wm, np.asarray(points, np.float64).reshape(-1, 3),
-            np.asarray(position), np.asarray(quat), self.cfg)
+        # the lock gives oracle readers (world_snapshot from a server or
+        # viz thread) a consistent _wm, mirroring the jax path
+        with self._state_lock:
+            res = self._oracle.process_frame(
+                self._wm, np.asarray(points, np.float64).reshape(-1, 3),
+                np.asarray(position), np.asarray(quat), self.cfg)
         if self._viz_stream is not None and self._viz_points:
             from .. import geometry
 
@@ -398,13 +403,23 @@ class SegmentationEngine:
                 live.append(i)
             start = self._now()
             with self._state_lock:
-                self._state, nlines, statuses, counts = step(
+                self._state, nlines, statuses, counts, overflows = step(
                     self._state, jnp.asarray(clouds), jnp.asarray(poss),
                     jnp.asarray(quats))
                 nl = np.asarray(nlines)
-                wc = np.asarray(counts)   # one sync per chunk
+                st_codes = np.asarray(statuses)
+                wc = np.asarray(counts)
+                ov = np.asarray(overflows)   # one sync per chunk
             end = self._now()
             per = (end - start) / max(len(live), 1)
+            # D-CAP accounting, matching the sync/pipelined paths
+            self.world_overflow_frames += int((ov[live] > 0).sum())
+            if ov[live].sum():
+                logger.warning(
+                    "world map full (max_world_segments=%d): dropped %d "
+                    "segment(s) across %d frame(s) (D-CAP)",
+                    self.cfg.shapes.max_world_segments, int(ov[live].sum()),
+                    int((ov[live] > 0).sum()))
             for i in live:
                 rec = {
                     "wall_time": (end - self._program_start) * 1e6,
@@ -413,7 +428,7 @@ class SegmentationEngine:
                     "nblines": max(int(nl[i]), 0),
                 }
                 self.records.append(rec)
-                out.append(rec)
+                out.append(dict(rec, status=int(st_codes[i])))
                 self.frames_processed += 1
         return out
 
@@ -475,9 +490,16 @@ class SegmentationEngine:
     # ---------------------------------------------------------------- streaming
 
     def start(self) -> None:
-        """Spawn the consumer thread (the reference's processingThread)."""
+        """Spawn the consumer thread (the reference's processingThread).
+        Restart-safe: a mailbox closed by a previous stop() is replaced."""
         if self._worker is not None:
             return
+        if getattr(self, "_mailbox_closed", False):
+            # carry the old mailbox's drop count so dropped_frames stays
+            # cumulative across restarts
+            self._dropped_accum = self.dropped_frames
+            self.mailbox = self._make_mailbox()
+            self._mailbox_closed = False
         self._running = True
         self._worker = threading.Thread(target=self._worker_loop, daemon=True)
         self._worker.start()
@@ -498,9 +520,37 @@ class SegmentationEngine:
                 self.frames_failed += 1
                 logger.exception("frame at t=%s failed; worker continues", t)
 
+    def drain(self, target_total: Optional[int] = None,
+              timeout: float = 60.0, poll_s: float = 0.05) -> bool:
+        """Wait until every submitted cloud is accounted for (processed,
+        failed, skipped, or dropped by latest-wins).  ``target_total``
+        defaults to ``frames_submitted``; pass an explicit total when clouds
+        bypass submit_cloud (the native feeder writes the mailbox directly).
+        The window extends while the worker makes progress, so it outlasts
+        a first-frame TPU compile (10-40 s).  Returns True if drained."""
+        import time as _time
+
+        if target_total is None:
+            target_total = self.frames_submitted
+        deadline = _time.monotonic() + timeout
+        while _time.monotonic() < deadline:
+            before = self.frames_processed + self.frames_failed \
+                + self.frames_skipped_no_pose
+            if before + self.dropped_frames >= target_total:
+                return True
+            _time.sleep(poll_s)
+            after = self.frames_processed + self.frames_failed \
+                + self.frames_skipped_no_pose
+            if after != before:
+                deadline = _time.monotonic() + timeout
+        return (self.frames_processed + self.frames_failed
+                + self.frames_skipped_no_pose
+                + self.dropped_frames) >= target_total
+
     def stop(self) -> None:
         self._running = False
         self.mailbox.close()
+        self._mailbox_closed = True
         if self._worker is not None:
             # Block until the worker really exits: the first TPU compile
             # inside process_frame can take 10-40 s, and returning while the
@@ -531,6 +581,11 @@ class SegmentationEngine:
         from .. import native
 
         self.start()
+        # per-run accounting baseline: counters are cumulative across runs
+        base_total = (self.frames_processed + self.frames_failed
+                      + self.frames_skipped_no_pose + self.dropped_frames)
+        base_processed = self.frames_processed
+        base_dropped = self.dropped_frames
         use_native = (native.available()
                       and isinstance(self.mailbox, native.NativeMailbox)
                       and isinstance(self.poses, native.NativePoseBuffer))
@@ -557,51 +612,37 @@ class SegmentationEngine:
                     fed += 1
                     if period:
                         _time.sleep(period)
-        # drain: wait until the worker has consumed the last fresh frame.
-        # The window must outlast a first-frame TPU compile (10-40 s), so it
-        # is generous and extends whenever the worker makes progress.
-        deadline = _time.monotonic() + 60.0
-        while _time.monotonic() < deadline:
-            before = self.frames_processed + self.frames_failed \
-                + self.frames_skipped_no_pose
-            _time.sleep(poll_s)
-            after = self.frames_processed + self.frames_failed \
-                + self.frames_skipped_no_pose
-            if after == before and after + self.dropped_frames >= fed:
-                break
-            if after != before:
-                deadline = _time.monotonic() + 60.0
+        # drain: wait until every frame of THIS run is accounted for
+        # (processed/failed/skipped/dropped); the window outlasts a
+        # first-frame TPU compile (engine.drain extends on progress)
+        self.drain(target_total=base_total + fed, poll_s=poll_s)
         self.stop()
-        return {"fed": int(fed), "processed": int(self.frames_processed),
-                "dropped": int(self.dropped_frames)}
+        return {"fed": int(fed),
+                "processed": int(self.frames_processed - base_processed),
+                "dropped": int(self.dropped_frames - base_dropped)}
 
     @property
     def dropped_frames(self) -> int:
         d = getattr(self.mailbox, "dropped", 0)
-        return int(d() if callable(d) else d)
+        return getattr(self, "_dropped_accum", 0) + int(
+            d() if callable(d) else d)
 
     # ---------------------------------------------------------------- outputs
 
-    def world_segments(self) -> List[dict]:
-        """Current world map as host dicts (segments.csv row source)."""
-        if self.backend == "oracle":
-            return [{"a": s.a, "b": s.b, "t_min": s.t_min, "t_max": s.t_max,
-                     "radius": s.radius, "points_size": s.points_size,
-                     "pca_coeff": s.pca_coeff}
-                    for s in self._wm.segments]
+    def _world_segments_locked(self) -> List[dict]:
+        """jax-backend world rows; caller holds _state_lock."""
         # One device->host transfer per FIELD (not per segment per field):
         # each readback is a full relay round-trip on the axon testbed.
         # The lock keeps the worker from donating st out from under us.
-        with self._state_lock:
-            st = self._state
-            n = int(np.asarray(st.count))
-            a = np.asarray(st.a)[:n]
-            b = np.asarray(st.b)[:n]
-            t_min = np.asarray(st.t_min)[:n]
-            t_max = np.asarray(st.t_max)[:n]
-            radius = np.asarray(st.radius)[:n]
-            points_size = np.asarray(st.points_size)[:n]
-            pca_coeff = np.asarray(st.pca_coeff)[:n]
+        st = self._state
+        n = int(np.asarray(st.count))
+        a = np.asarray(st.a)[:n]
+        b = np.asarray(st.b)[:n]
+        t_min = np.asarray(st.t_min)[:n]
+        t_max = np.asarray(st.t_max)[:n]
+        radius = np.asarray(st.radius)[:n]
+        points_size = np.asarray(st.points_size)[:n]
+        pca_coeff = np.asarray(st.pca_coeff)[:n]
         return [{"a": a[i], "b": b[i],
                  "t_min": float(t_min[i]),
                  "t_max": float(t_max[i]),
@@ -610,14 +651,11 @@ class SegmentationEngine:
                  "pca_coeff": float(pca_coeff[i])}
                 for i in range(n)]
 
-    def intersections_rows(self) -> List[tuple]:
-        """(seg1, t1, seg2, t2) rows, upper-triangular order (node.cpp:858)."""
-        if self.backend == "oracle":
-            return self._wm.intersections_rows()
-        with self._state_lock:
-            st = self._state
-            n = int(np.asarray(st.count))
-            inter = np.asarray(st.inter)[:n, :n]
+    def _intersections_locked(self) -> List[tuple]:
+        """jax-backend intersection rows; caller holds _state_lock."""
+        st = self._state
+        n = int(np.asarray(st.count))
+        inter = np.asarray(st.inter)[:n, :n]
         rows = []
         for i in range(n):
             for j in range(i):
@@ -626,12 +664,41 @@ class SegmentationEngine:
                     rows.append((i, float(t1), j, float(t2)))
         return rows
 
+    def world_segments(self) -> List[dict]:
+        """Current world map as host dicts (segments.csv row source)."""
+        if self.backend == "oracle":
+            return [{"a": s.a, "b": s.b, "t_min": s.t_min, "t_max": s.t_max,
+                     "radius": s.radius, "points_size": s.points_size,
+                     "pca_coeff": s.pca_coeff}
+                    for s in self._wm.segments]
+        with self._state_lock:
+            return self._world_segments_locked()
+
+    def intersections_rows(self) -> List[tuple]:
+        """(seg1, t1, seg2, t2) rows, upper-triangular order (node.cpp:858)."""
+        if self.backend == "oracle":
+            return self._wm.intersections_rows()
+        with self._state_lock:
+            return self._intersections_locked()
+
+    def world_snapshot(self) -> Tuple[List[dict], List[tuple]]:
+        """(world_segments, intersections_rows) as ONE mutually consistent
+        pair — a frame fused between two separate calls could otherwise
+        yield intersection rows referencing segments absent from the
+        segment list (concurrent streaming readers: server queries, live
+        viz pollers)."""
+        if self.backend == "oracle":
+            with self._state_lock:
+                return self.world_segments(), self._wm.intersections_rows()
+        with self._state_lock:
+            return self._world_segments_locked(), self._intersections_locked()
+
     def visualization(self) -> dict:
         """Marker-style structured viz (the RViz MarkerArray analog):
         cylinders per world segment, spheres per intersection, text labels
         (node.cpp:676-842)."""
         cylinders, texts, spheres = [], [], []
-        segs = self.world_segments()
+        segs, inter_rows = self.world_snapshot()
         for i, s in enumerate(segs):
             p1 = np.asarray(s["a"]) + s["t_min"] * np.asarray(s["b"])
             p2 = np.asarray(s["a"]) + s["t_max"] * np.asarray(s["b"])
@@ -640,7 +707,7 @@ class SegmentationEngine:
                               "radius": s["radius"],
                               "height": float(np.linalg.norm(p2 - p1))})
             texts.append({"id": i, "position": mid, "text": str(i)})
-        for (i, t1, j, t2) in self.intersections_rows():
+        for (i, t1, j, t2) in inter_rows:
             s = segs[i]
             p = np.asarray(s["a"]) + t1 * np.asarray(s["b"])
             r = 1.5 * max(self.cfg.radius_sizes[0], self.cfg.radius_sizes[-1])

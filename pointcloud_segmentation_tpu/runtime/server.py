@@ -11,8 +11,11 @@ Wire protocol (little-endian, length-prefixed):
 
     message   := type:u8 len:u32 payload[len]
     'F' frame := t:f64 pos:3xf64 quat_wxyz:4xf64 n:u32 pts:n*3*f32
-                 (one PCSL record — io/replay.py's on-disk format — i.e.
-                 a recorded log IS a valid message stream)
+                 (the payload layout is exactly one PCSL record —
+                 io/replay.py's on-disk format — so log records convert
+                 1:1 into messages; note a .pcsl FILE additionally has a
+                 magic+version header and no per-record type/len framing,
+                 so cat-ing a log to the socket is NOT a valid stream)
     'Q' query := empty; server replies 'S' with a JSON world snapshot
                  {world_segments, intersections, frames_processed,
                   frames_dropped, frames_skipped_no_pose}
@@ -62,13 +65,32 @@ def _unpack_frame(payload: bytes):
     return t, pos, quat, pts
 
 
-def _recv_exact(conn: socket.socket, n: int) -> Optional[bytes]:
+_IDLE = object()          # sentinel: no bytes yet, client merely quiet
+
+
+def _recv_exact(conn: socket.socket, n: int, idle_ok: bool = False,
+                stall_ticks: int = 60):
+    """Read exactly n bytes.  Returns None on EOF.  With idle_ok, a
+    timeout BEFORE any byte arrives returns _IDLE (a quiet client is not
+    an error); a timeout mid-message keeps waiting up to ``stall_ticks``
+    socket-timeout periods, then gives up (None) — a half-sent message
+    means a broken peer."""
     buf = b""
+    stalls = 0
     while len(buf) < n:
-        chunk = conn.recv(n - len(buf))
+        try:
+            chunk = conn.recv(n - len(buf))
+        except socket.timeout:
+            if idle_ok and not buf:
+                return _IDLE
+            stalls += 1
+            if stalls >= stall_ticks:
+                return None
+            continue
         if not chunk:
             return None
         buf += chunk
+        stalls = 0
     return buf
 
 
@@ -77,9 +99,10 @@ def _send_msg(conn: socket.socket, mtype: int, payload: bytes) -> None:
 
 
 class SegmentationServer:
-    """Serve one engine over TCP.  Connections are handled sequentially in
-    a background accept thread (one engine = one world map = one consumer;
-    scale-out is one server per chip behind any TCP balancer)."""
+    """Serve one engine over TCP.  Each connection gets a handler thread
+    (idle monitors don't block feeders; the engine's state lock keeps
+    concurrent queries safe); one engine = one world map = one consumer;
+    scale-out is one server per chip behind any TCP balancer."""
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0,
                  outdir: str = "."):
@@ -90,6 +113,8 @@ class SegmentationServer:
         self.host, self.port = self._sock.getsockname()[:2]
         self._running = False
         self._thread: Optional[threading.Thread] = None
+        self._conn_threads: list = []
+        self._final_lock = threading.Lock()
         self.finalized: Optional[dict] = None
 
     # ------------------------------------------------------------- lifecycle
@@ -101,23 +126,31 @@ class SegmentationServer:
         return self
 
     def stop(self) -> None:
+        """Idempotent: always closes the socket, joins threads, and stops
+        the engine — including after a client-initiated finalize."""
         self._running = False
         if self._thread is not None:
             self._thread.join(timeout=10.0)
             self._thread = None
-        self._sock.close()
+        for t in self._conn_threads:
+            t.join(timeout=5.0)
+        self._conn_threads = []
+        try:
+            self._sock.close()
+        except OSError:
+            pass
         self.engine.stop()
 
     def serve_forever(self) -> dict:
         """Run until a client sends the finalize message; returns the
-        finalize snapshot (CSV paths)."""
+        finalize snapshot (CSV paths).  Always cleans up (socket closed,
+        threads joined) on exit."""
         self.start()
         try:
             while self._running and self.finalized is None:
                 self._thread.join(timeout=0.2)
         finally:
-            if self._running:
-                self.stop()
+            self.stop()
         return self.finalized or {}
 
     # --------------------------------------------------------------- serving
@@ -129,20 +162,28 @@ class SegmentationServer:
                 continue
             except OSError:
                 return
-            with conn:
-                try:
-                    self._serve_conn(conn)
-                except Exception:
-                    logger.exception("client %s failed; server continues",
-                                     addr)
-            if self.finalized is not None:
-                self._running = False
-                return
+            th = threading.Thread(target=self._serve_conn_safe,
+                                  args=(conn, addr), daemon=True)
+            th.start()
+            self._conn_threads = [t for t in self._conn_threads
+                                  if t.is_alive()] + [th]
+
+    def _serve_conn_safe(self, conn: socket.socket, addr) -> None:
+        with conn:
+            try:
+                self._serve_conn(conn)
+            except Exception:
+                logger.exception("client %s failed; server continues", addr)
 
     def _serve_conn(self, conn: socket.socket) -> None:
-        conn.settimeout(10.0)
+        # short socket timeout = a liveness tick, NOT a disconnect: idle
+        # clients (slow-polling monitors) stay connected; only EOF, a
+        # half-sent message, or server shutdown ends the session
+        conn.settimeout(1.0)
         while self._running:
-            hdr = _recv_exact(conn, _HDR.size)
+            hdr = _recv_exact(conn, _HDR.size, idle_ok=True)
+            if hdr is _IDLE:
+                continue
             if hdr is None:
                 return
             mtype, length = _HDR.unpack(hdr)
@@ -157,16 +198,23 @@ class SegmentationServer:
                 _send_msg(conn, MSG_SNAP,
                           json.dumps(self._snapshot()).encode())
             elif mtype == MSG_FINAL:
-                self.engine.stop()
-                paths = self.engine.finalize(self.outdir)
-                self.finalized = {"outputs": paths}
+                with self._final_lock:      # one finalizer wins
+                    if self.finalized is None:
+                        # account for every submitted frame before the
+                        # flush: without the drain, stop() drops the last
+                        # in-flight frame(s) from the CSVs silently
+                        self.engine.drain()
+                        self.engine.stop()
+                        paths = self.engine.finalize(self.outdir)
+                        self.finalized = {"outputs": paths}
                 _send_msg(conn, MSG_SNAP, json.dumps(self.finalized).encode())
+                self._running = False
                 return
             else:
                 raise IOError(f"unknown message type {mtype}")
 
     def _snapshot(self) -> dict:
-        segs = self.engine.world_segments()
+        segs, inter = self.engine.world_snapshot()   # one consistent pair
         return {
             "world_segments": [
                 {"a": [float(v) for v in s["a"]],
@@ -175,8 +223,7 @@ class SegmentationServer:
                  "radius": s["radius"], "points_size": s["points_size"],
                  "pca_coeff": s["pca_coeff"]}
                 for s in segs],
-            "intersections": [list(r) for r in
-                              self.engine.intersections_rows()],
+            "intersections": [list(r) for r in inter],
             "frames_processed": int(self.engine.frames_processed),
             "frames_dropped": int(self.engine.dropped_frames),
             "frames_skipped_no_pose": int(self.engine.frames_skipped_no_pose),

@@ -97,3 +97,61 @@ def test_wire_roundtrip_matches_replay_record():
     np.testing.assert_array_equal(quat, fr.quat_wxyz)
     np.testing.assert_array_equal(
         pts, np.asarray(fr.points, np.float32).reshape(-1, 3))
+
+
+def test_finalize_drains_in_flight_frames(tmp_path):
+    """'X' right after the last frame must not silently drop the tail:
+    every submitted frame ends up processed, dropped, or skipped before
+    the CSVs are written."""
+    eng = SegmentationEngine(CFG, backend="oracle")
+    srv = SegmentationServer(eng, outdir=str(tmp_path)).start()
+    try:
+        cli = SegmentationClient(srv.host, srv.port, timeout=120.0)
+        frames = make_frames(4)
+        for fr in frames:
+            cli.send_frame(fr.t, fr.position, fr.quat_wxyz, fr.points)
+        out = cli.finalize()          # no client-side drain on purpose
+        total = (eng.frames_processed + eng.dropped_frames
+                 + eng.frames_skipped_no_pose + eng.frames_failed)
+        assert total >= len(frames)
+        import csv
+
+        with open(out["outputs"]["processing_time"]) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == eng.frames_processed >= 1
+        cli.close()
+    finally:
+        srv.stop()
+
+
+def test_idle_client_stays_connected(tmp_path):
+    """A slow-polling monitor (idle > the 1 s socket tick) keeps its
+    connection; idleness is not an error."""
+    eng = SegmentationEngine(CFG, backend="oracle")
+    srv = SegmentationServer(eng, outdir=str(tmp_path)).start()
+    try:
+        cli = SegmentationClient(srv.host, srv.port, timeout=30.0)
+        assert "world_segments" in cli.query()
+        time.sleep(2.5)               # > conn.settimeout(1.0)
+        assert "world_segments" in cli.query()
+        cli.close()
+    finally:
+        srv.stop()
+
+
+def test_engine_restarts_after_stop(tmp_path):
+    """stop() then a second streaming run works: the closed mailbox is
+    replaced and the returned counts are per-run, not cumulative."""
+    from pointcloud_segmentation_tpu.io.replay import save_frames
+
+    log = str(tmp_path / "r.pcsl")
+    frames = make_frames(5)
+    save_frames(log, frames)
+    eng = SegmentationEngine(CFG, backend="oracle")
+    s1 = eng.run_streaming_from_log(log, rate_hz=0.0)
+    s2 = eng.run_streaming_from_log(log, rate_hz=0.0)
+    for s in (s1, s2):
+        assert s["fed"] == len(frames)
+        assert s["processed"] + s["dropped"] <= len(frames)
+        assert s["processed"] >= 1
+    assert eng.frames_processed == s1["processed"] + s2["processed"]

@@ -34,18 +34,23 @@ Mismatches are CLASSIFIED (soak of seeds 2000-2059, 10 diverging):
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-try:  # the container's sitecustomize registers a remote-TPU backend; drop it
-    import jax._src.xla_bridge as xb
+# Force CPU the way tests/conftest.py does: the container presets
+# JAX_PLATFORMS=axon via sitecustomize (which already imported jax), so the
+# env var alone is too late — drop the axon backend factory AND update the
+# live config, or the soak dials the one real TPU chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
+try:
+    import jax._src.xla_bridge as _xb
 
-    xb.backends()  # force registry init
+    _xb._backend_factories.pop("axon", None)
 except Exception:
     pass
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 F64 = "--f64" in sys.argv
 if F64:
-    import jax
-
     jax.config.update("jax_enable_x64", True)
 
 import numpy as np
@@ -135,10 +140,27 @@ def run_pair(seed: int) -> list:
     return errs, klass
 
 
+def _verify_f64(seed: int) -> bool:
+    """Re-run one seed in a --f64 subprocess (x64 can't be flipped after
+    jax init in-process); True iff the f64 device path matches the
+    oracle — the definitive test for the f32-gate-boundary class."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "1", str(seed),
+             "--f64"],
+            capture_output=True, text=True, timeout=1800)
+    except Exception:
+        return False
+    return "MISMATCH" not in r.stdout
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(args[0]) if len(args) > 0 else 50
     s0 = int(args[1]) if len(args) > 1 else 1000
+    verify = not F64 and "--no-verify" not in sys.argv
     counts = {}
     for seed in range(s0, s0 + n):
         try:
@@ -146,6 +168,12 @@ def main():
         except Exception as e:  # a crash on either backend is also a finding
             errs, klass = [f"EXCEPTION {type(e).__name__}: {e}"], "real"
         if errs:
+            if klass == "f32-gate-boundary?" and verify:
+                # self-verifying: boundary suspects are re-run under f64;
+                # a seed that STILL mismatches is a real divergence and
+                # fails the soak
+                klass = ("f32-gate-boundary" if _verify_f64(seed)
+                         else "real")
             counts[klass] = counts.get(klass, 0) + 1
             print(f"SEED {seed} MISMATCH [{klass}]: " + "; ".join(errs),
                   flush=True)
