@@ -6,6 +6,8 @@ Subcommands:
   record   simulate a trajectory and save a binary replay log
   stream   replay a recorded log through the LIVE runtime at sensor rate
            (C++ feeder -> latest-wins mailbox -> consumer thread)
+  serve    put the engine behind a TCP endpoint: binary frame stream in,
+           world-map queries / CSV flush out (the deployable node loop)
   viz      render a per-frame viz stream into an interactive HTML player
   eval     compare a segments.csv against the benchmark scene's ground truth
            with the reference match criteria (tests_structure.py analog)
