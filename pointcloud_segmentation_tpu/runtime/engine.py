@@ -586,6 +586,8 @@ class SegmentationEngine:
                       + self.frames_skipped_no_pose + self.dropped_frames)
         base_processed = self.frames_processed
         base_dropped = self.dropped_frames
+        base_skipped = self.frames_skipped_no_pose
+        base_failed = self.frames_failed
         use_native = (native.available()
                       and isinstance(self.mailbox, native.NativeMailbox)
                       and isinstance(self.poses, native.NativePoseBuffer))
@@ -617,9 +619,16 @@ class SegmentationEngine:
         # first-frame TPU compile (engine.drain extends on progress)
         self.drain(target_total=base_total + fed, poll_s=poll_s)
         self.stop()
-        return {"fed": int(fed),
-                "processed": int(self.frames_processed - base_processed),
-                "dropped": int(self.dropped_frames - base_dropped)}
+        processed = int(self.frames_processed - base_processed)
+        skipped = int(self.frames_skipped_no_pose - base_skipped)
+        failed = int(self.frames_failed - base_failed)
+        # a frame still fresh in the mailbox at stop() was never taken: it
+        # IS dropped under latest-wins, so account every unprocessed,
+        # unskipped frame as dropped rather than leaving a silent gap
+        dropped = max(int(fed) - processed - skipped - failed,
+                      int(self.dropped_frames - base_dropped))
+        return {"fed": int(fed), "processed": processed,
+                "dropped": dropped}
 
     @property
     def dropped_frames(self) -> int:
