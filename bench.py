@@ -129,8 +129,11 @@ def bench_tpu(cfg, frames, warmup=2):
 
 def bench_batched_node_loop(cfg, frames, batch=8):
     """Full node loop in batch mode (pipeline.make_batched_process):
-    vmapped per-frame stages + scanned in-order fusion — the production
-    throughput path."""
+    vmapped per-frame stages + scanned in-order fusion.  On a SINGLE chip
+    this measures SLOWER per cloud than the sequential pipelined path
+    (~11.9 vs 6.0 ms — the vmapped while_loop runs the union of all
+    frames' extraction rounds, docs/PERF.md); it is the data-parallel
+    building block whose batch axis pays off sharded across a mesh."""
     import jax
     import jax.numpy as jnp
     from pointcloud_segmentation_tpu.pipeline import make_batched_process, init_world

@@ -118,9 +118,10 @@ def cmd_run(args) -> int:
 
     cfg = _build_cfg(args)
     frames = _frames(args, cfg)
-    eng = SegmentationEngine(cfg, backend=args.backend,
-                             viz_stream=args.viz_stream,
-                             viz_points=args.viz_points)
+    eng = SegmentationEngine(
+        cfg, backend=args.backend, viz_stream=args.viz_stream,
+        viz_points=args.viz_points or args.viz_world_points,
+        collect_inlier_points=args.viz_world_points)
     eng.run_replay(frames)
     outdir = args.out or cfg.path_to_output
     paths = eng.finalize(outdir)
@@ -166,9 +167,10 @@ def cmd_stream(args) -> int:
     from .runtime import SegmentationEngine
 
     cfg = _build_cfg(args)
-    eng = SegmentationEngine(cfg, backend=args.backend,
-                             viz_stream=args.viz_stream,
-                             viz_points=args.viz_points)
+    eng = SegmentationEngine(
+        cfg, backend=args.backend, viz_stream=args.viz_stream,
+        viz_points=args.viz_points or args.viz_world_points,
+        collect_inlier_points=args.viz_world_points)
     stats = eng.run_streaming_from_log(args.log, rate_hz=args.rate,
                                        loops=args.loops)
     outdir = args.out or cfg.path_to_output
@@ -202,7 +204,21 @@ def cmd_serve(args) -> int:
 
 def cmd_viz(args) -> int:
     """Render a per-frame viz-stream JSONL (from `run --viz-stream`) into a
-    self-contained interactive HTML player — the offline RViz stand-in."""
+    self-contained interactive HTML player — the offline RViz stand-in.
+    With --follow, serve a LIVE player instead that tails the (growing)
+    JSONL, so a concurrent run/stream/serve session is watched as it maps —
+    the live half of the RViz loop."""
+    if args.follow:
+        from .viz import VizStreamServer
+
+        srv = VizStreamServer(args.stream, host=args.host, port=args.port)
+        print(f"live player: {srv.url}  (following {args.stream}; Ctrl-C "
+              f"to stop)", flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        return 0
     from .viz import render_viz_stream_html
 
     out = args.out or (os.path.splitext(args.stream)[0] + ".html")
@@ -312,6 +328,12 @@ def main(argv=None) -> int:
                     help="embed per-frame filtered/hough point clouds in "
                          "the viz stream (filtered_pointcloud / "
                          "hough_pointcloud topics analog)")
+    pr.add_argument("--viz-world-points", action="store_true",
+                    help="like --viz-points, but hough_points carries ALL "
+                         "world segments' accumulated inliers each frame "
+                         "(the reference's republish-everything "
+                         "hough_pointcloud semantics, node.cpp:823-829; "
+                         "capped at the most recent 4096 points)")
     pr.add_argument("--viz-stream", default=None, metavar="JSONL",
                     help="write a per-frame marker stream (the RViz "
                          "re-publish loop analog) to this JSONL file")
@@ -341,6 +363,8 @@ def main(argv=None) -> int:
     ps.add_argument("--loops", type=int, default=1)
     ps.add_argument("--viz-stream", default=None, metavar="JSONL")
     ps.add_argument("--viz-points", action="store_true")
+    ps.add_argument("--viz-world-points", action="store_true",
+                    help="see `run --viz-world-points`")
     ps.set_defaults(fn=cmd_stream)
 
     px = sub.add_parser("serve", help="serve the engine over TCP "
@@ -364,6 +388,12 @@ def main(argv=None) -> int:
     pv = sub.add_parser("viz", help="viz-stream JSONL -> interactive HTML player")
     pv.add_argument("stream", help="JSONL file from `run --viz-stream`")
     pv.add_argument("-o", "--out", default=None, help="output .html path")
+    pv.add_argument("--follow", action="store_true",
+                    help="serve a LIVE player that tails the JSONL while "
+                         "another session writes it (RViz-style live view)")
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.add_argument("--port", type=int, default=0,
+                    help="HTTP port for --follow (0 = ephemeral)")
     pv.set_defaults(fn=cmd_viz)
 
     pi = sub.add_parser("inspect", help="XLA cost analysis of the compiled step")

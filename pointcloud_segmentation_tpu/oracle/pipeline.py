@@ -34,6 +34,12 @@ here and summarized in README.md):
            arbitrary eigenvector sign.
   D-POSE   a failed pose lookup skips the frame; node.cpp:281-283 `return`s,
            permanently killing the worker thread.
+  D-ITER   opt_nlines == 0 ("extract until points run out") is bounded by
+           shapes.max_iters (default 24; the XLA while_loop needs a static
+           trip bound, and the oracle mirrors it for parity).  The
+           reference iterates unbounded while >= opt_minvotes points
+           remain (h:341-342).  Escape hatch: raise max_iters; shipped
+           configs use opt_nlines = 10 and are unaffected.
 
 Reference quirks *reproduced* on purpose (they are observable behavior):
   * t computed from x components only; b.x == 0 aborts the frame's extraction

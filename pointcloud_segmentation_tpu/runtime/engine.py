@@ -42,7 +42,8 @@ class SegmentationEngine:
                  checkpoint_every: int = 0,
                  checkpoint_path: Optional[str] = None,
                  viz_stream: Optional[object] = None,
-                 viz_points: bool = False):
+                 viz_points: bool = False,
+                 stream_sync_every: int = 32):
         """viz_stream: per-frame visualization feed (the RViz re-publish
         loop analog, node.cpp:676-842).  A str/path appends one JSON line
         per processed frame (frame counters + the marker structures of
@@ -50,9 +51,29 @@ class SegmentationEngine:
 
         viz_points: also embed the frame's world-frame point clouds in each
         viz record — ``filtered_points`` (the `filtered_pointcloud` topic,
-        node.cpp:417-420) and ``hough_points`` (the accepted lines' inliers,
-        the `hough_pointcloud` topic, node.cpp:833-841).  Costs extra
-        device->host readbacks per frame; viz-only, off the perf path."""
+        node.cpp:417-420) and ``hough_points`` (the `hough_pointcloud`
+        topic).  The reference republishes ALL world segments' accumulated
+        inlier points every frame (node.cpp:823-829); enable
+        ``collect_inlier_points`` too to get those exact semantics (capped
+        at the most recent 4096 points per record), else ``hough_points``
+        carries only the current frame's accepted inliers (node.cpp:833-841
+        per-frame contribution).  Costs extra device->host readbacks per
+        frame; viz-only, off the perf path.
+
+        stream_sync_every: streaming-mode dispatch pipelining depth.  The
+        jit'd step's per-frame scalars cost a full device->host round-trip
+        to read (~25 ms through this testbed's relay vs ~6 ms device time
+        per frame), so the streaming worker dispatches frames back-to-back,
+        parks the packed scalar handles on device, and backfills the
+        records with ONE batched readback every `stream_sync_every` frames
+        or whenever the mailbox goes idle (the sync then rides time the
+        worker would have spent blocked anyway).  The flush is also the
+        in-flight bound: at most `stream_sync_every` dispatched-but-unsynced
+        frames exist, so an overdriven feed backpressures instead of
+        queueing unboundedly.  Set <= 1 to force the synchronous per-frame
+        readback path.  Deferred mode is automatically disabled when
+        per-frame host work needs the frame's own values or state
+        (viz_stream, collect_inlier_points, verbose_level > 0)."""
         self.cfg = cfg
         self.backend = backend
         self.poses = self._make_pose_buffer()
@@ -74,6 +95,15 @@ class SegmentationEngine:
         self._viz_file = None
         self._batched_step = None
         self._batched_size = 0
+        self.stream_sync_every = stream_sync_every
+        # (record, scalars-handle) pairs dispatched but not yet read back;
+        # touched only by the worker thread (stop() joins before finalize)
+        self._pending: List[tuple] = []
+        self._last_checkpoint_k = 0
+        self._stream_deferred = (
+            backend == "jax" and stream_sync_every > 1
+            and not collect_inlier_points and viz_stream is None
+            and cfg.verbose_level == VERBOSE_NONE)
         # Guards self._state against the donation race: each jitted step
         # DONATES the world-state buffer, so a reader (world_segments /
         # intersections / checkpoint, e.g. a server thread answering a
@@ -227,8 +257,21 @@ class SegmentationEngine:
             cap = 4096
             rec["filtered_points"] = np.round(
                 self._frame_points["filtered"][:cap], 4).tolist()
-            rec["hough_points"] = np.round(
-                self._frame_points["hough"][:cap], 4).tolist()
+            # `hough_points` fidelity (node.cpp:823-829): the reference
+            # republishes ALL world segments' ACCUMULATED inlier points
+            # every frame.  With collect_inlier_points on, do the same from
+            # the accumulated store (capped at the most recent `cap` points
+            # — the reference's message grows unbounded); otherwise fall
+            # back to the current frame's accepted inliers only.
+            if self.collect_inlier_points:
+                pts = [p for lst in self._inlier_points.values() for p in lst]
+                acc = (np.concatenate(pts, axis=0) if pts
+                       else np.zeros((0, 3)))
+                rec["hough_points"] = np.round(acc[-cap:], 4).tolist()
+                rec["hough_points_world_accumulated"] = True
+            else:
+                rec["hough_points"] = np.round(
+                    self._frame_points["hough"][:cap], 4).tolist()
             self._frame_points = None
         if callable(self._viz_stream):
             self._viz_stream(rec)
@@ -504,21 +547,113 @@ class SegmentationEngine:
         self._worker = threading.Thread(target=self._worker_loop, daemon=True)
         self._worker.start()
 
+    # How long the mailbox must stay empty before a pending flush runs.
+    # Shorter than a 30 Hz frame period (33 ms) so low feed rates sync every
+    # frame for free inside their idle window; longer than a 100 Hz period
+    # (10 ms) so a saturating feed pipelines up to stream_sync_every deep.
+    _STREAM_IDLE_FLUSH_S = 0.02
+
+    def _process_frame_deferred(self, t: float, points: np.ndarray) -> bool:
+        """Streaming fast path: dispatch the jit'd step WITHOUT the per-frame
+        scalar readback.  The packed (4,) counter handle is parked on device
+        and the per-frame record carries -1 sentinels until `_flush_pending`
+        backfills them truthfully (same convention as _run_replay_pipelined).
+        Returns False iff the pose lookup failed (frame skipped, D-POSE)."""
+        if self._program_start is None:
+            self._program_start = self._now()
+        pose = self.poses.lookup(t)
+        if pose is None:
+            self.frames_skipped_no_pose += 1
+            return False
+        position, quat = pose
+        jnp = self._jnp
+        start = self._now()
+        raw = jnp.asarray(self._pad_raw(points))
+        with self._state_lock:
+            self._state, _out, scalars = self._step(
+                self._state, raw, jnp.asarray(position, self._npdt),
+                jnp.asarray(quat, self._npdt))
+        end = self._now()
+        rec = {
+            "wall_time": (end - self._program_start) * 1e6,
+            "processing_time": (end - start) * 1e6,
+            "seg_vec_size": -1,
+            "nblines": -1,
+        }
+        self.records.append(rec)
+        self._pending.append((rec, scalars))
+        self.frames_processed += 1
+        return True
+
+    def _flush_pending(self) -> None:
+        """Backfill every pending record with ONE batched device->host
+        readback (the scalar handles are stacked on device first, so the
+        whole batch costs a single relay round-trip).  The sync time is
+        folded into the last flushed frame's processing_time, matching the
+        pipelined-replay convention; D-CAP overflow accounting is exact."""
+        if not self._pending:
+            return
+        jnp = self._jnp
+        t0 = self._now()
+        with self._state_lock:
+            stacked = jnp.stack([s for _, s in self._pending])  # (k, 4) int32
+            vals = np.asarray(stacked)                          # single sync
+        sync_us = (self._now() - t0) * 1e6
+        for (rec, _), row in zip(self._pending, vals):
+            rec["seg_vec_size"] = int(row[0])
+            rec["nblines"] = max(int(row[1]), 0)
+        self._pending[-1][0]["processing_time"] += sync_us
+        overflow = vals[:, 3]
+        self.world_overflow_frames += int((overflow > 0).sum())
+        if overflow.sum():
+            logger.warning(
+                "world map full (max_world_segments=%d): dropped %d "
+                "segment(s) across %d frame(s) (D-CAP)",
+                self.cfg.shapes.max_world_segments, int(overflow.sum()),
+                int((overflow > 0).sum()))
+        self._pending.clear()
+        # checkpoint cadence in deferred mode: flush boundaries are the only
+        # points where the map is host-consistent, so save once per crossed
+        # multiple of checkpoint_every rather than per exact frame
+        if self.checkpoint_every and self.checkpoint_path:
+            k = self.frames_processed // self.checkpoint_every
+            if k > self._last_checkpoint_k:
+                self._last_checkpoint_k = k
+                self.save_checkpoint(self.checkpoint_path)
+
     def _worker_loop(self) -> None:
         # A processing error must not silently kill the consumer thread (the
         # reference's worker dies on the first TF failure, node.cpp:281-283 —
         # a quirk this runtime deliberately fixes; skip-and-continue applies
         # to unexpected exceptions too).
+        deferred = self._stream_deferred
         while self._running:
-            item = self.mailbox.take(timeout=0.1)
+            timeout = (self._STREAM_IDLE_FLUSH_S
+                       if (deferred and self._pending) else 0.1)
+            item = self.mailbox.take(timeout=timeout)
             if item is None:
+                if deferred and self._pending:
+                    try:
+                        self._flush_pending()
+                    except Exception:
+                        logger.exception("pending flush failed")
                 continue
             t, points = item
             try:
-                self.process_frame(t, points)
+                if deferred:
+                    self._process_frame_deferred(t, points)
+                    if len(self._pending) >= self.stream_sync_every:
+                        self._flush_pending()
+                else:
+                    self.process_frame(t, points)
             except Exception:
                 self.frames_failed += 1
                 logger.exception("frame at t=%s failed; worker continues", t)
+        if deferred and self._pending:
+            try:
+                self._flush_pending()
+            except Exception:
+                logger.exception("final pending flush failed")
 
     def drain(self, target_total: Optional[int] = None,
               timeout: float = 60.0, poll_s: float = 0.05) -> bool:

@@ -132,10 +132,104 @@ def render_viz_stream_html(jsonl_path: str, out_html: str,
                 frames.append(_json.loads(line))
     data = _json.dumps(frames)
     html = _VIZ_HTML_TEMPLATE.replace("__TITLE__", title).replace(
-        "__DATA__", data)
+        "__DATA__", data).replace("__LIVE__", "")
     with open(out_html, "w") as f:
         f.write(html)
     return len(frames)
+
+
+class VizStreamServer:
+    """LIVE viewing of a growing viz-stream JSONL — the missing half of the
+    RViz loop (the reference is watched live while the node maps,
+    node.cpp:676-842 + rviz/drone_pc.rviz).  A tiny HTTP server pairs the
+    HTML player with a ``/stream?from=N`` endpoint that tails the JSONL; the
+    player polls it and follows the newest frame, so a concurrent
+    ``pcs-tpu run/stream/serve --viz-stream f.jsonl`` session can be watched
+    as it maps: ``pcs-tpu viz f.jsonl --follow``.
+
+    No dependencies beyond the stdlib; the JSONL file may not exist yet at
+    startup (served as zero frames until the producer creates it).
+    """
+
+    def __init__(self, jsonl_path: str, host: str = "127.0.0.1",
+                 port: int = 0, poll_ms: int = 500,
+                 title: str = "pointcloud_segmentation_tpu (live)"):
+        import http.server
+        import json as _json
+
+        path = jsonl_path
+        page = (_VIZ_HTML_TEMPLATE
+                .replace("__TITLE__", title)
+                .replace("__DATA__", "[]")
+                .replace("__LIVE__", _VIZ_LIVE_SNIPPET)
+                .replace("__POLL_MS__", str(int(poll_ms)))).encode()
+
+        def read_frames(start: int):
+            out = []
+            try:
+                with open(path) as f:
+                    for i, line in enumerate(f):
+                        line = line.strip()
+                        if line and i >= start:
+                            try:
+                                out.append(_json.loads(line))
+                            except ValueError:
+                                pass  # torn tail line mid-write; next poll
+            except OSError:
+                pass
+            return out
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (stdlib API name)
+                if self.path.startswith("/stream"):
+                    start = 0
+                    if "from=" in self.path:
+                        try:
+                            start = int(self.path.split("from=")[1]
+                                        .split("&")[0])
+                        except ValueError:
+                            pass
+                    body = _json.dumps(read_frames(start)).encode()
+                    ctype = "application/json"
+                elif self.path in ("/", "/index.html"):
+                    body, ctype = page, "text/html"
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self.httpd = http.server.ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self.httpd.server_address[:2]
+
+    @property
+    def url(self) -> str:
+        return f"http://{self.host}:{self.port}/"
+
+    def serve_forever(self):
+        try:
+            self.httpd.serve_forever()
+        finally:
+            self.httpd.server_close()
+
+    def start_background(self):
+        import threading
+
+        th = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        th.start()
+        return th
+
+    def shutdown(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
 
 
 _VIZ_HTML_TEMPLATE = """<!DOCTYPE html>
@@ -221,5 +315,31 @@ cv.onmousemove = e => { if (drag){ yaw += (e.clientX - drag[0]) * 0.008;
 cv.onmouseup = () => drag = null;
 cv.onwheel = e => { zoom = Math.max(20, Math.min(600, zoom * (e.deltaY < 0 ? 1.1 : 0.9))); draw(); e.preventDefault(); };
 resize();
+__LIVE__
 </script></body></html>
+"""
+
+# Injected in --follow mode: poll the server for new frames and track the
+# latest one (dragging the slider pauses following; the ⏭ button resumes).
+_VIZ_LIVE_SNIPPET = """
+let follow = true;
+const fbtn = document.createElement('button');
+fbtn.innerHTML = '&#9197;'; fbtn.title = 'follow live';
+document.getElementById('bar').appendChild(fbtn);
+fbtn.onclick = () => { follow = true; if (FRAMES.length){ cur = FRAMES.length - 1; draw(); } };
+slider.addEventListener('input', () => follow = false);
+async function poll(){
+  try {
+    const r = await fetch('/stream?from=' + FRAMES.length);
+    const nf = await r.json();
+    if (nf.length){
+      FRAMES.push(...nf);
+      slider.max = Math.max(FRAMES.length - 1, 0);
+      if (follow) cur = FRAMES.length - 1;
+      draw();
+    }
+  } catch (e) {}
+  setTimeout(poll, __POLL_MS__);
+}
+poll();
 """

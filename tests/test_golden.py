@@ -68,12 +68,62 @@ def test_jax_reproduces_golden():
     segments_match(run("jax"), golden, atol_pt=2e-2)
 
 
+# ---- second fixture: the SHIPPED configuration (granularity 6 — the
+# reference's config_pc_seg/config.yaml:22), which resolves voting to the
+# LAZY accumulator-free path; the g2 fixture above only ever exercises
+# "carry".  Small sensor + frame budget keep the 20,481-direction oracle
+# and CPU-jit runs tractable in CI.
+
+FIXTURE_G6 = os.path.join(os.path.dirname(__file__), "fixtures",
+                          "golden_segments_g6.csv")
+
+CFG_G6 = default_config(
+    granularity=6,
+    shapes=StaticShapes(max_raw_points=2048, max_points=1024,
+                        max_world_segments=32),
+)
+assert CFG_G6.voting_mode == "lazy"
+
+
+def golden_frames_g6():
+    poses = trajectory_poses(WP_TESTS, hz=1.0, velocity=0.4)[:4]
+    return simulate_trajectory(OBS_TESTS_SCENE, poses,
+                               TofSpec(width=32, height=32,
+                                       noise_frac=0.001), seed=7)
+
+
+def run_g6(backend):
+    eng = SegmentationEngine(CFG_G6, backend=backend)
+    eng.run_replay(golden_frames_g6())
+    return eng.world_segments()
+
+
+def test_g6_fixture_exists():
+    assert os.path.exists(FIXTURE_G6), "run `python tests/test_golden.py regen`"
+
+
+def test_oracle_reproduces_golden_g6():
+    golden = read_segments_csv(FIXTURE_G6)
+    assert len(golden) >= 3
+    segments_match(run_g6("oracle"), golden, atol_pt=1e-4)
+
+
+def test_jax_reproduces_golden_g6():
+    """f32 device path at the shipped config — through the lazy voting
+    state + tiered suspect re-exam (ops/hough.py)."""
+    golden = read_segments_csv(FIXTURE_G6)
+    segments_match(run_g6("jax"), golden, atol_pt=2e-2)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "regen":
         os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)
         segs = run("oracle")
         write_segments_csv(FIXTURE, segs)
         print(f"wrote {len(segs)} segments -> {FIXTURE}")
+        segs6 = run_g6("oracle")
+        write_segments_csv(FIXTURE_G6, segs6)
+        print(f"wrote {len(segs6)} segments -> {FIXTURE_G6}")
 
 
 INTER_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",

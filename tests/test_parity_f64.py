@@ -155,6 +155,103 @@ def test_f64_hough_parity_random_scenes(seed):
         assert abs(jpc[k] - rs.pca_coeff) <= TOL
 
 
+def test_f64_end_to_end_parity_shipped_g6_lazy():
+    """<=1e-4 parity ON THE SHIPPED CONFIG: granularity 6 (the reference's
+    config_pc_seg/config.yaml:22) resolves voting to the LAZY path
+    (ops/hough._vote_state_tiles + tiered _vstate_update re-exam), which the
+    g2 end-to-end test never touches (g2 resolves to "carry").  Full replay
+    on a 32x32 ToF (small frame budget — g6 is 20,481 directions on the CPU
+    test platform) through pipeline.process_frame in f64 vs the oracle."""
+    cfg = default_config(
+        granularity=6, compute_dtype="float64",
+        shapes=StaticShapes(max_raw_points=2048, max_points=1024,
+                            max_world_segments=32))
+    assert cfg.voting_mode == "lazy"
+
+    poses = trajectory_poses(WP_TESTS, hz=1.0, velocity=0.4)[:4]
+    frames = simulate_trajectory(OBS_TESTS_SCENE, poses,
+                                 TofSpec(width=32, height=32,
+                                         noise_frac=0.002), seed=3)
+
+    wm = oracle.WorldMap(cfg)
+    ref_nlines = []
+    for f in frames:
+        res = oracle.process_frame(wm, f.points, f.position, f.quat_wxyz, cfg)
+        ref_nlines.append(res.nblines)
+
+    with jax.enable_x64(True):
+        from pointcloud_segmentation_tpu.pipeline import (
+            process_frame, init_world)
+
+        step = jax.jit(lambda s, r, p, q: process_frame(s, r, p, q, cfg))
+        state = init_world(cfg)
+        jax_nlines = []
+        for f in frames:
+            raw = jnp.asarray(
+                _pad(f.points, cfg.shapes.max_raw_points, np.float64))
+            state, out = step(state, raw,
+                              jnp.asarray(f.position, jnp.float64),
+                              jnp.asarray(f.quat_wxyz, jnp.float64))
+            jax_nlines.append(int(out.nlines))
+        rows = _world_rows(state)
+
+    assert jax_nlines == ref_nlines
+    assert rows["n"] == len(wm.segments) >= 3
+    for k, rs in enumerate(wm.segments):
+        p1r, p2r = rs.endpoints()
+        p1j = rows["t_min"][k] * rows["b"][k] + rows["a"][k]
+        p2j = rows["t_max"][k] * rows["b"][k] + rows["a"][k]
+        assert np.linalg.norm(p1j - p1r) <= TOL, f"seg {k} endpoint 1"
+        assert np.linalg.norm(p2j - p2r) <= TOL, f"seg {k} endpoint 2"
+        assert rows["radius"][k] == rs.radius
+        assert rows["points_size"][k] == rs.points_size
+        assert abs(rows["pca_coeff"][k] - rs.pca_coeff) <= TOL
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_f64_lazy_equals_carry(seed):
+    """The lazy voting state must stay bit-equivalent to the carried
+    accumulator in f64 parity mode too (the f32 fuzz lives in
+    test_voting_lazy.py; this pins the parity-mode dtype mix — f64 cloud,
+    f32-by-spec bins — through both _vstate implementations)."""
+    from pointcloud_segmentation_tpu.ops.hough import extract_lines
+
+    rng = np.random.default_rng(seed + 4200)
+    cfg = default_config(
+        granularity=int(rng.integers(1, 5)),
+        opt_nlines=6, opt_minvotes=int(rng.integers(6, 16)),
+        min_pca_coeff=float(rng.uniform(0.5, 0.95)),
+        compute_dtype="float64",
+        shapes=StaticShapes(max_raw_points=2048, max_points=1024))
+    clouds = []
+    for i in range(int(rng.integers(1, 4))):
+        a = rng.uniform([-0.3, -0.8, 0.2], [0.8, 0.8, 1.5])
+        b = rng.normal(size=3)
+        b /= np.linalg.norm(b)
+        t = np.linspace(0, 1.3, int(rng.integers(100, 250)))
+        clouds.append(a + t[:, None] * b + rng.normal(0, 0.005, (len(t), 3)))
+    pts = np.concatenate(clouds)
+    with jax.enable_x64(True):
+        padded = np.zeros((cfg.shapes.max_points, 3), np.float64)
+        padded[: len(pts)] = pts
+        valid = np.zeros(cfg.shapes.max_points, bool)
+        valid[: len(pts)] = True
+        pj, vj = jnp.asarray(padded, jnp.float64), jnp.asarray(valid)
+        rl = jax.jit(lambda p, v: extract_lines(
+            p, v, cfg.replace(voting="lazy")))(pj, vj)
+        rc = jax.jit(lambda p, v: extract_lines(
+            p, v, cfg.replace(voting="carry")))(pj, vj)
+        assert rl.segments.a.dtype == jnp.float64
+        assert int(rl.nlines) == int(rc.nlines)
+        assert int(rl.status) == int(rc.status)
+        np.testing.assert_array_equal(np.asarray(rl.segments.valid),
+                                      np.asarray(rc.segments.valid))
+        np.testing.assert_array_equal(np.asarray(rl.segments.points_size),
+                                      np.asarray(rc.segments.points_size))
+        np.testing.assert_array_equal(np.asarray(rl.segments.a),
+                                      np.asarray(rc.segments.a))
+
+
 def test_f32_default_unchanged():
     """The perf default stays f32: no x64, f32 state and outputs."""
     cfg = CFG.replace(compute_dtype="float32")

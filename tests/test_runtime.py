@@ -217,7 +217,11 @@ def test_engine_pipelined_records_match_synchronous(replay_frames):
 def test_engine_worker_survives_poisoned_frame():
     """A frame that raises must not kill the streaming worker (D-ERR):
     the error is counted and later frames still process."""
-    eng = SegmentationEngine(CFG, backend="jax")
+    # stream_sync_every=1 pins the synchronous worker path, whose
+    # _process_jax this test monkeypatches; the deferred path's poison
+    # survival is covered by test_engine_streaming_deferred_poison.
+    eng = SegmentationEngine(CFG, backend="jax", stream_sync_every=1)
+    assert not eng._stream_deferred
     poses = trajectory_poses(WP_TESTS, hz=2.0, velocity=0.25)
     frames = simulate_trajectory(OBS_TESTS_SCENE, poses[:2], TofSpec(), seed=0)
     for fr in frames:
@@ -317,6 +321,89 @@ def test_engine_batched_replay_matches_synchronous(replay_frames):
     for x, y in zip(sb, ss):
         np.testing.assert_allclose(x["a"], y["a"], atol=1e-5)
         assert x["points_size"] == y["points_size"]
+
+
+def _submit_and_wait(eng, fr, deadline_s=60.0):
+    """Submit one frame and wait until the worker accounted for it — keeps
+    the latest-wins mailbox from dropping anything, so the deferred-mode
+    record list lines up 1:1 with a synchronous replay."""
+    target = (eng.frames_processed + eng.frames_skipped_no_pose
+              + eng.frames_failed + 1)
+    eng.push_pose(fr.t, fr.position, fr.quat_wxyz)
+    eng.submit_cloud(fr.t, fr.points)
+    deadline = time.time() + deadline_s
+    while (eng.frames_processed + eng.frames_skipped_no_pose
+           + eng.frames_failed) < target and time.time() < deadline:
+        time.sleep(0.002)
+
+
+def test_engine_streaming_deferred_records_truthful(replay_frames):
+    """The streaming worker's deferred (pipelined-dispatch) path must
+    backfill every record with the frame's OWN counters — identical
+    seg_vec_size / nblines columns and world map to a synchronous replay.
+    stream_sync_every=3 forces several mid-run batched flushes plus an
+    idle/final flush."""
+    eng = SegmentationEngine(CFG, backend="jax", stream_sync_every=3)
+    assert eng._stream_deferred
+    eng.start()
+    for fr in replay_frames:
+        _submit_and_wait(eng, fr)
+    eng.stop()
+    assert eng._pending == []            # final flush ran
+    assert eng.frames_processed == len(replay_frames)
+    # no -1 sentinel survived the flushes
+    assert all(r["seg_vec_size"] >= 0 and r["nblines"] >= 0
+               for r in eng.records)
+    eng_s = SegmentationEngine(CFG, backend="jax")
+    recs_s = eng_s.run_replay(replay_frames)
+    assert [r["seg_vec_size"] for r in eng.records] == \
+        [r["seg_vec_size"] for r in recs_s]
+    assert [r["nblines"] for r in eng.records] == \
+        [r["nblines"] for r in recs_s]
+    segs_d, segs_s = eng.world_segments(), eng_s.world_segments()
+    assert len(segs_d) == len(segs_s)
+    for x, y in zip(segs_d, segs_s):
+        np.testing.assert_allclose(x["a"], y["a"], atol=1e-5)
+
+
+def test_engine_streaming_deferred_poison(replay_frames):
+    """Deferred streaming survives a frame whose dispatch raises."""
+    eng = SegmentationEngine(CFG, backend="jax", stream_sync_every=4)
+    assert eng._stream_deferred
+    boom = {"armed": True}
+    orig = eng._step
+
+    def exploding(state, raw, pos, quat):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("poisoned frame")
+        return orig(state, raw, pos, quat)
+
+    eng._step = exploding
+    eng.start()
+    for fr in replay_frames[:3]:
+        _submit_and_wait(eng, fr)
+    eng.stop()
+    assert eng.frames_failed == 1
+    assert eng.frames_processed == 2
+    assert all(r["seg_vec_size"] >= 0 for r in eng.records)
+
+
+def test_engine_streaming_deferred_checkpoints(replay_frames, tmp_path):
+    """Deferred mode still honors the checkpoint cadence (at flush
+    boundaries) and the checkpoint resumes into the same world map."""
+    ckpt = str(tmp_path / "ck.npz")
+    eng = SegmentationEngine(CFG, backend="jax", stream_sync_every=3,
+                             checkpoint_every=4, checkpoint_path=ckpt)
+    assert eng._stream_deferred
+    eng.start()
+    for fr in replay_frames:
+        _submit_and_wait(eng, fr)
+    eng.stop()
+    assert os.path.exists(ckpt)
+    eng2 = SegmentationEngine(CFG, backend="jax")
+    eng2.load_checkpoint(ckpt)
+    assert eng2.frames_processed >= 4
 
 
 def test_engine_batched_replay_ragged_tail(replay_frames):

@@ -7,6 +7,17 @@ mismatch prints a self-contained repro line.  Run on CPU:
 
     JAX_PLATFORMS=cpu python tools/parity_soak.py [n_iters] [start_seed] [--f64]
 
+Coverage modes (mutually exclusive flags; default draws granularity 1-3 on
+a 32x32 sensor):
+
+    --g6         granularity-6 configs (20,481 directions — the SHIPPED
+                 direction count), which resolve to the LAZY voting path
+                 (ops/hough._vote_state_tiles); smaller clouds/frame
+                 budgets keep the CPU oracle tractable
+    --sensor128  128x128 ToF frames (16,384 rays — the large-sensor
+                 scaling config), exercising the sort-based gap check
+                 (N > 4096) and the big voxel compaction
+
 This is a soak harness, not a CI test (tests/test_robustness.py and the
 per-layer parity tests cover fixed seeds); use it to hunt for rare
 inlier-boundary / tie-break disagreements across the config space.
@@ -50,6 +61,8 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 F64 = "--f64" in sys.argv
+MODE = ("g6" if "--g6" in sys.argv
+        else "sensor128" if "--sensor128" in sys.argv else "base")
 if F64:
     jax.config.update("jax_enable_x64", True)
 
@@ -61,9 +74,31 @@ STATUS_BX_ZERO = 3
 def random_cfg(rng):
     from pointcloud_segmentation_tpu.config import StaticShapes, default_config
 
+    if MODE == "g6":
+        # the shipped direction count; every such config resolves voting to
+        # "lazy" (carry would be >= 131 MB even at radius 0.1)
+        cfg = default_config(
+            granularity=6,
+            opt_minvotes=int(rng.integers(6, 14)),
+            opt_nlines=int(rng.choice([4, 10])),
+            min_pca_coeff=float(rng.choice([0.9, 0.95, 0.995])),
+            rad_2_leaf_ratio=float(rng.choice([1.5, 2.0])),
+            floor_trim_height=float(rng.choice([0.0, 0.3])),
+            radius_sizes=(float(rng.choice([0.05, 0.08, 0.1])),),
+            surface_offset_correction=bool(rng.integers(0, 2)),
+            shapes=StaticShapes(max_raw_points=1024, max_points=512,
+                                max_world_segments=32),
+            compute_dtype="float64" if F64 else "float32",
+        )
+        assert cfg.voting_mode == "lazy"
+        return cfg
     nrad = rng.integers(1, 3)
     radii = sorted(rng.choice([0.03, 0.05, 0.08, 0.1], size=nrad,
                               replace=False).tolist())
+    shapes = (StaticShapes(max_raw_points=16384, max_points=6144,
+                           max_world_segments=32) if MODE == "sensor128"
+              else StaticShapes(max_raw_points=2048, max_points=1024,
+                                max_world_segments=32))
     return default_config(
         granularity=int(rng.integers(1, 4)),
         opt_minvotes=int(rng.integers(6, 16)),
@@ -73,8 +108,7 @@ def random_cfg(rng):
         floor_trim_height=float(rng.choice([0.0, 0.3])),
         radius_sizes=tuple(radii),
         surface_offset_correction=bool(rng.integers(0, 2)),
-        shapes=StaticShapes(max_raw_points=2048, max_points=1024,
-                            max_world_segments=32),
+        shapes=shapes,
         compute_dtype="float64" if F64 else "float32",
     )
 
@@ -89,12 +123,14 @@ def run_pair(seed: int) -> list:
     cfg = random_cfg(rng)
     scene = simple_scene(n_beams=int(rng.integers(2, 6)),
                          radius=cfg.radius_sizes[0], seed=seed)
-    n = int(rng.integers(4, 10))
+    n = int(rng.integers(3, 6)) if MODE == "g6" else int(rng.integers(4, 10))
     poses = [(float(i), np.array([0.0, 0.0, 0.5 + 0.15 * i]),
               np.array([1.0, 0.0, 0.0, 0.0])) for i in range(n)]
+    side = 128 if MODE == "sensor128" else 32
     frames = simulate_trajectory(
         scene, poses,
-        TofSpec(width=32, height=32, noise_frac=float(rng.choice([0.0, 0.002]))),
+        TofSpec(width=side, height=side,
+                noise_frac=float(rng.choice([0.0, 0.002]))),
         seed=seed + 1)
 
     outs = {}
@@ -146,10 +182,11 @@ def _verify_f64(seed: int) -> bool:
     oracle — the definitive test for the f32-gate-boundary class."""
     import subprocess
 
+    mode_flag = [f"--{MODE}"] if MODE != "base" else []
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "1", str(seed),
-             "--f64"],
+             "--f64"] + mode_flag,
             capture_output=True, text=True, timeout=1800)
     except Exception:
         return False
