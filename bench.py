@@ -296,9 +296,11 @@ def bench_streaming(cfg, frames, rates=(30.0, 100.0), loops=3):
     out = {}
     for rate in rates:
         eng = SegmentationEngine(cfg)
-        # warm the compile outside the timed window
+        # warm the compiles outside the timed window: the per-frame step AND
+        # the deferred path's flush stack (engine.start pre-compiles it)
         eng.push_pose(frames[0].t, frames[0].position, frames[0].quat_wxyz)
         eng.process_frame(frames[0].t, frames[0].points)
+        eng.start()
         t0 = time.perf_counter()
         stats = eng.run_streaming_from_log(log_path, rate_hz=rate,
                                            loops=loops)

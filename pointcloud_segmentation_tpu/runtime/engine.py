@@ -43,7 +43,7 @@ class SegmentationEngine:
                  checkpoint_path: Optional[str] = None,
                  viz_stream: Optional[object] = None,
                  viz_points: bool = False,
-                 stream_sync_every: int = 32):
+                 stream_sync_every: int = 64):
         """viz_stream: per-frame visualization feed (the RViz re-publish
         loop analog, node.cpp:676-842).  A str/path appends one JSON line
         per processed frame (frame counters + the marker structures of
@@ -537,6 +537,15 @@ class SegmentationEngine:
         Restart-safe: a mailbox closed by a previous stop() is replaced."""
         if self._worker is not None:
             return
+        if self._stream_deferred and not getattr(self, "_flush_warmed", False):
+            # Pre-compile the deferred path's (K, 4) flush stack BEFORE the
+            # worker needs it: on the axon relay a first-use compile costs
+            # seconds, which would be paid mid-stream and shed frames.
+            jnp = self._jnp
+            z = jnp.zeros((4,), jnp.int32)
+            with self._state_lock:
+                _ = np.asarray(jnp.stack([z] * self.stream_sync_every))
+            self._flush_warmed = True
         if getattr(self, "_mailbox_closed", False):
             # carry the old mailbox's drop count so dropped_frames stays
             # cumulative across restarts
@@ -547,11 +556,18 @@ class SegmentationEngine:
         self._worker = threading.Thread(target=self._worker_loop, daemon=True)
         self._worker.start()
 
-    # How long the mailbox must stay empty before a pending flush runs.
-    # Shorter than a 30 Hz frame period (33 ms) so low feed rates sync every
-    # frame for free inside their idle window; longer than a 100 Hz period
-    # (10 ms) so a saturating feed pipelines up to stream_sync_every deep.
+    # Mailbox-empty wait before the worker re-checks the pending flush
+    # condition (shorter than a 30 Hz frame period so low rates stay
+    # responsive; longer than a 100 Hz period so a saturating feed keeps
+    # pipelining).
     _STREAM_IDLE_FLUSH_S = 0.02
+    # Max age of the OLDEST unflushed record before an idle flush runs.
+    # Flushing on every idle window would pay the ~25-50 ms relay
+    # round-trip once per frame at low feed rates (strictly worse than the
+    # per-frame-sync path it replaces — measured 34% drops at 30 Hz under
+    # relay jitter); age-gating amortizes one round-trip over
+    # rate * age frames while keeping record backfill latency bounded.
+    _STREAM_FLUSH_AGE_S = 0.5
 
     def _process_frame_deferred(self, t: float, points: np.ndarray) -> bool:
         """Streaming fast path: dispatch the jit'd step WITHOUT the per-frame
@@ -581,6 +597,8 @@ class SegmentationEngine:
             "nblines": -1,
         }
         self.records.append(rec)
+        if not self._pending:
+            self._pending_t0 = end      # oldest-pending age for idle flush
         self._pending.append((rec, scalars))
         self.frames_processed += 1
         return True
@@ -594,10 +612,19 @@ class SegmentationEngine:
         if not self._pending:
             return
         jnp = self._jnp
+        k = len(self._pending)
+        handles = [s for _, s in self._pending]
+        # Pad to the FIXED pipeline depth before stacking: every distinct
+        # stack length is a distinct XLA program, and on the axon relay each
+        # new shape is a REMOTE compile costing seconds — a varying-k stack
+        # turned the first deferred-streaming attempt into a compile storm
+        # (measured: 23 clouds/s instead of ~95, then a wedged relay).  One
+        # (K, 4) shape compiles once and serves every flush.
+        handles += [handles[-1]] * (self.stream_sync_every - k)
         t0 = self._now()
         with self._state_lock:
-            stacked = jnp.stack([s for _, s in self._pending])  # (k, 4) int32
-            vals = np.asarray(stacked)                          # single sync
+            stacked = jnp.stack(handles)        # always (K, 4) int32
+            vals = np.asarray(stacked)[:k]      # single sync
         sync_us = (self._now() - t0) * 1e6
         for (rec, _), row in zip(self._pending, vals):
             rec["seg_vec_size"] = int(row[0])
@@ -632,7 +659,9 @@ class SegmentationEngine:
                        if (deferred and self._pending) else 0.1)
             item = self.mailbox.take(timeout=timeout)
             if item is None:
-                if deferred and self._pending:
+                if (deferred and self._pending
+                        and (self._now() - self._pending_t0
+                             >= self._STREAM_FLUSH_AGE_S)):
                     try:
                         self._flush_pending()
                     except Exception:
