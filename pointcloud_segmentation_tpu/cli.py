@@ -193,10 +193,14 @@ def cmd_serve(args) -> int:
     from .runtime.server import SegmentationServer
 
     cfg = _build_cfg(args)
-    eng = SegmentationEngine(cfg, backend=args.backend)
+    eng = SegmentationEngine(cfg, backend=args.backend,
+                             viz_stream=args.viz_stream)
     srv = SegmentationServer(eng, host=args.host, port=args.port,
                              outdir=args.out or cfg.path_to_output)
     print(f"serving on {srv.host}:{srv.port}", flush=True)
+    if args.viz_stream:
+        print(f"viz stream: {args.viz_stream}  (watch live with "
+              f"`pcs-tpu viz {args.viz_stream} --follow`)", flush=True)
     out = srv.serve_forever()
     print(json.dumps(out))
     return 0
@@ -373,6 +377,12 @@ def main(argv=None) -> int:
     px.add_argument("--host", default="127.0.0.1")
     px.add_argument("--port", type=int, default=0,
                     help="TCP port (0 = ephemeral, printed at startup)")
+    px.add_argument("--viz-stream", default=None, metavar="JSONL",
+                    help="also write the per-frame marker stream; pair "
+                         "with `pcs-tpu viz <JSONL> --follow` in another "
+                         "terminal to watch the serve session live "
+                         "(NOTE: per-frame viz forces the synchronous "
+                         "streaming path — off the max-throughput path)")
     px.set_defaults(fn=cmd_serve)
 
     pe = sub.add_parser("eval", help="ground-truth accuracy of a segments.csv")

@@ -81,6 +81,42 @@ def test_viz_server_tolerates_missing_and_torn_file(tmp_path):
         srv.shutdown()
 
 
+def test_serve_session_watched_live(tmp_path):
+    """The full live-RViz-loop analog: a serve session writes the viz
+    stream while a follower server tails it — a watcher sees the world
+    grow DURING the session (node.cpp:676-842's live loop, end to end)."""
+    import time
+
+    from pointcloud_segmentation_tpu.runtime.server import (
+        SegmentationServer, SegmentationClient)
+
+    path = str(tmp_path / "serve_viz.jsonl")
+    eng = SegmentationEngine(CFG, backend="oracle", viz_stream=path)
+    srv = SegmentationServer(eng, outdir=str(tmp_path)).start()
+    watcher = VizStreamServer(path)
+    watcher.start_background()
+    try:
+        cli = SegmentationClient(srv.host, srv.port)
+        poses = trajectory_poses(WP_TESTS, hz=1.0, velocity=0.4)[:2]
+        frames = simulate_trajectory(OBS_TESTS_SCENE, poses,
+                                     TofSpec(noise_frac=0.002), seed=1)
+        for fr in frames:
+            want = int(eng.frames_processed) + 1
+            cli.send_frame(fr.t, fr.position, fr.quat_wxyz, fr.points)
+            deadline = time.time() + 60.0
+            while eng.frames_processed < want and time.time() < deadline:
+                time.sleep(0.02)
+        # the watcher sees the session's frames while it is still live
+        got = json.loads(_get(watcher.url + "stream?from=0"))
+        assert [g["frame"] for g in got] == [1, 2]
+        assert got[-1]["world_count"] >= got[0]["world_count"]
+        cli.finalize()
+        cli.close()
+    finally:
+        watcher.shutdown()
+        srv.stop()
+
+
 def test_viz_world_accumulated_hough_points():
     """With collect_inlier_points + viz_points, each viz record's
     hough_points carries the ACCUMULATED world inliers (node.cpp:823-829),
