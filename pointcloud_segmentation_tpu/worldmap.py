@@ -141,10 +141,93 @@ _FUSE_KEYS = ("a", "b", "t_min", "t_max", "radius", "points_size",
               "pca_coeff", "pca_eigenvalues")
 
 
-def fuse_frame(state: WorldState, segs: SegmentBatch, cfg: PipelineConfig):
-    """Sequential first-match-wins fusion of a frame's segments.
+def _frame_seg_dicts(segs: SegmentBatch) -> dict:
+    return {
+        "a": segs.a, "b": segs.b, "t_min": segs.t_min,
+        "t_max": segs.t_max, "radius": segs.radius,
+        "points_size": segs.points_size,
+        "pca_coeff": segs.pca_coeff,
+        "pca_eigenvalues": segs.pca_eigenvalues,
+    }
 
-    Returns (new_state_fields dict, modified (S,) bool, new_flags (S,) bool).
+
+def fuse_frame(state: WorldState, segs: SegmentBatch, cfg: PipelineConfig):
+    """First-match-wins fusion of a frame's segments (vectorized).
+
+    The reference fuses sequentially (node.cpp:491-510), but every segment
+    matches against the FRAME-START world set, so the similarity + fusion
+    math for all L segments is one batched computation; only the slot
+    bookkeeping is order-dependent, and that collapses to closed form:
+    append slots are an exclusive prefix sum of the append flags, and a
+    later fuse into the same slot overwriting an earlier one becomes a
+    last-writer-wins scatter.  Bit-identical to `fuse_frame_sequential`
+    (fuzzed in tests/test_worldmap_jax.py) at a fraction of the op count —
+    the unrolled 24-step chain cost ~1.3 ms/frame of the g4 node loop.
+
+    Returns (new_state_fields dict, count, valid, modified (S,) bool,
+    new_flags (S,) bool, slots (L,) int32).
+    """
+    S = state.capacity
+    L = segs.capacity
+
+    old = {k: getattr(state, k) for k in _FUSE_KEYS}
+    old_valid = state.valid
+    d_all = _frame_seg_dicts(segs)
+
+    # One batched similarity + candidate-fusion pass vs the frame-start world.
+    sim_all, fused_all = jax.vmap(
+        lambda d: _similarity_one(cfg, d, old))(d_all)    # (L,S), {(L,S,...)}
+    sim_all = sim_all & old_valid[None, :]
+
+    dvalid = segs.valid
+    found = sim_all.any(axis=1) & dvalid                   # (L,)
+    j = jnp.argmax(sim_all, axis=1).astype(jnp.int32)      # (L,) first match
+
+    # Append bookkeeping: the sequential count saturates at S, but while it
+    # is below S every append flag is taken, so the un-saturated exclusive
+    # cumsum + `< S` test reproduces it exactly.
+    append_flag = dvalid & ~found
+    inc = append_flag.astype(jnp.int32)
+    counts_before = state.count + jnp.cumsum(inc) - inc    # (L,) exclusive
+    can_append = append_flag & (counts_before < S)
+    k = jnp.minimum(counts_before, S - 1).astype(jnp.int32)
+    count = state.count + can_append.sum().astype(jnp.int32)
+
+    slot = jnp.where(found, j, jnp.where(can_append, k, -1))  # (L,)
+    write = found | can_append
+
+    # Fused writes can collide (two frame segments matching the same world
+    # slot): the LAST writer wins, mirroring the sequential overwrite.
+    # Append slots are unique and disjoint from fused slots (appends target
+    # indices >= frame-start count; every valid slot is below it).
+    ii = jnp.arange(L, dtype=jnp.int32)
+    later_same = (slot[None, :] == slot[:, None]) & (
+        ii[None, :] > ii[:, None]) & write[None, :]
+    winner = write & ~later_same.any(axis=1)
+    tgt = jnp.where(winner, slot, S)                       # S -> dropped
+
+    new = {}
+    for key in _FUSE_KEYS:
+        fused_rows = fused_all[key][ii, j]                 # (L,) / (L,3)
+        vals = jnp.where(
+            found if fused_rows.ndim == 1 else found[:, None],
+            fused_rows, d_all[key])
+        new[key] = old[key].at[tgt].set(vals, mode="drop")
+
+    modified = jnp.zeros(S, bool).at[
+        jnp.where(found, j, S)].set(True, mode="drop")
+    new_flags = jnp.zeros(S, bool).at[
+        jnp.where(can_append, k, S)].set(True, mode="drop")
+    valid = old_valid | new_flags
+    return new, count, valid, modified, new_flags, slot
+
+
+def fuse_frame_sequential(state: WorldState, segs: SegmentBatch,
+                          cfg: PipelineConfig):
+    """The literal sequential fusion loop (node.cpp:491-510 semantics).
+
+    Kept as the executable spec twin of the vectorized `fuse_frame`; the
+    fuzz test asserts bit-identical outputs.  Not used on the hot path.
     """
     S = state.capacity
     L = segs.capacity
@@ -158,13 +241,7 @@ def fuse_frame(state: WorldState, segs: SegmentBatch, cfg: PipelineConfig):
 
     def body(i, carry):
         new, count, modified, new_flags, slots = carry
-        d = {
-            "a": segs.a[i], "b": segs.b[i], "t_min": segs.t_min[i],
-            "t_max": segs.t_max[i], "radius": segs.radius[i],
-            "points_size": segs.points_size[i],
-            "pca_coeff": segs.pca_coeff[i],
-            "pca_eigenvalues": segs.pca_eigenvalues[i],
-        }
+        d = {k: v[i] for k, v in _frame_seg_dicts(segs).items()}
         dvalid = segs.valid[i]
         sim, fused = _similarity_one(cfg, d, old)   # match vs frame-start world
         sim = sim & old_valid
@@ -194,9 +271,6 @@ def fuse_frame(state: WorldState, segs: SegmentBatch, cfg: PipelineConfig):
         count = count + can_append.astype(jnp.int32)
         return (upd, count, modified, new_flags, slots)
 
-    # Unrolled: L is small (opt_nlines, <= ~24) and each step is tiny, so
-    # unrolling lets XLA fuse across steps instead of paying per-iteration
-    # loop overhead.
     for i in range(L):
         carry = body(i, carry)
     new, count, modified, new_flags, slots = carry
@@ -204,27 +278,20 @@ def fuse_frame(state: WorldState, segs: SegmentBatch, cfg: PipelineConfig):
     return new, count, valid, modified, new_flags, slots
 
 
-def _solve3_cramer(A, b, enabled):
-    """Batched 3x3 solve via Cramer's rule (pure vector ops — the batched LU
-    path unrolls poorly on TPU).  Disabled entries yield NaN, which the
-    caller's isfinite gate treats as 'no connection' (the oracle's singular-
-    solve path behaves the same)."""
-    c0, c1, c2 = A[..., 0], A[..., 1], A[..., 2]          # matrix columns
-    cx12 = jnp.cross(c1, c2)
-    det = (c0 * cx12).sum(-1)
-    ok = enabled & (det != 0.0)
-    inv = jnp.where(ok, 1.0, jnp.nan) / jnp.where(det != 0.0, det, 1.0)
-    x0 = (b * cx12).sum(-1) * inv
-    x1 = (b * jnp.cross(c2, c0)).sum(-1) * inv
-    x2 = (b * jnp.cross(c0, c1)).sum(-1) * inv
-    return jnp.stack([x0, x1, x2], axis=-1)
-
-
 def update_intersections(state_fields: dict, valid, inter_old, touched,
                          cfg: PipelineConfig):
     """Batched checkConnections over touched pairs (node.cpp:519-537, 554-584).
 
     Pair (i, j), j < i: seg_i plays `drone_seg`, seg_j plays `world_seg`.
+
+    Everything is computed on per-component (S, S) planes rather than
+    (S, S, 3) / (S, S, 3, 3) stacks: on TPU the trailing 3 (or (3, 3))
+    minor dims pad to full (8, 128) tiles, so the stacked formulation moved
+    ~40-1000x the useful bytes (the (S, S, 3, 3) Cramer LHS alone was
+    ~16 MB of padded HBM traffic) — measured 0.79 ms/frame, vs ~0.2 ms in
+    this layout.  The arithmetic (cross products, dots, Cramer solve) is
+    written in exactly the stacked form's operation order, so results are
+    bit-identical.
     """
     a, b = state_fields["a"], state_fields["b"]
     t_min, t_max = state_fields["t_min"], state_fields["t_max"]
@@ -232,33 +299,65 @@ def update_intersections(state_fields: dict, valid, inter_old, touched,
     S = a.shape[0]
 
     p1 = t_min[:, None] * b + a                     # (S, 3)
-    cross = jnp.cross(jnp.broadcast_to(b[None, :, :], (S, S, 3)),
-                      jnp.broadcast_to(b[:, None, :], (S, S, 3)))  # b_j x b_i
-    cn = jnp.sqrt(jnp.maximum((cross * cross).sum(-1), 0.0))
+    p1x, p1y, p1z = p1[:, 0], p1[:, 1], p1[:, 2]
+    bx, by, bz = b[:, 0], b[:, 1], b[:, 2]
+
+    def pair_planes(u):
+        return u[:, None], u[None, :]               # value at seg_i / seg_j
+
+    bix, bjx = pair_planes(bx)
+    biy, bjy = pair_planes(by)
+    biz, bjz = pair_planes(bz)
+
+    # cross[i, j] = b_j x b_i
+    cx = bjy * biz - bjz * biy
+    cy = bjz * bix - bjx * biz
+    cz = bjx * biy - bjy * bix
+    cn = jnp.sqrt(jnp.maximum((cx * cx + cy * cy) + cz * cz, 0.0))
     parallel = cn < 1e-2
-    nhat = cross / jnp.maximum(cn, 1e-30)[..., None]
+    cns = jnp.maximum(cn, 1e-30)
+    nx, ny, nz = cx / cns, cy / cns, cz / cns       # nhat
 
     i_idx = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
     pair = (j_idx < i_idx) & valid[:, None] & valid[None, :] & (
         touched[:, None] | touched[None, :]) & ~parallel
 
-    bi = jnp.broadcast_to(b[:, None, :], (S, S, 3))
-    bj = jnp.broadcast_to(b[None, :, :], (S, S, 3))
-    LHS = jnp.stack([bi, -bj, nhat], axis=-1)        # columns (node.cpp:568)
-    RHS = p1[None, :, :] - p1[:, None, :]            # p1_j - p1_i
+    # Cramer solve of [b_i, -b_j, nhat] [t_i, t_j, d]^T = p1_j - p1_i
+    # (columns per node.cpp:568), all on (S, S) planes.
+    rx = p1x[None, :] - p1x[:, None]
+    ry = p1y[None, :] - p1y[:, None]
+    rz = p1z[None, :] - p1z[:, None]
 
-    sol = _solve3_cramer(LHS, RHS, pair)
-    dist = jnp.abs(sol[..., 2])
+    # cx12 = (-b_j) x nhat
+    c12x = (-bjy) * nz - (-bjz) * ny
+    c12y = (-bjz) * nx - (-bjx) * nz
+    c12z = (-bjx) * ny - (-bjy) * nx
+    det = (bix * c12x + biy * c12y) + biz * c12z
+    ok = pair & (det != 0.0)
+    inv = jnp.where(ok, 1.0, jnp.nan) / jnp.where(det != 0.0, det, 1.0)
+    x0 = ((rx * c12x + ry * c12y) + rz * c12z) * inv
+    # c20 = nhat x b_i
+    c20x = ny * biz - nz * biy
+    c20y = nz * bix - nx * biz
+    c20z = nx * biy - ny * bix
+    x1 = ((rx * c20x + ry * c20y) + rz * c20z) * inv
+    # c01 = b_i x (-b_j)
+    c01x = biy * (-bjz) - biz * (-bjy)
+    c01y = biz * (-bjx) - bix * (-bjz)
+    c01z = bix * (-bjy) - biy * (-bjx)
+    x2 = ((rx * c01x + ry * c01y) + rz * c01z) * inv
 
+    dist = jnp.abs(x2)
     tmin_i, tmax_i = t_min[:, None], t_max[:, None]
     tmin_j, tmax_j = t_min[None, :], t_max[None, :]
     eps = 2.0 * cfg.diag_voxel + radius[:, None] + radius[None, :]
-    in_i = (sol[..., 0] + tmin_i >= tmin_i) & (sol[..., 0] + tmin_i <= tmax_i)
-    in_j = (sol[..., 1] + tmin_j >= tmin_j) & (sol[..., 1] + tmin_j <= tmax_j)
-    conn = pair & in_i & in_j & (dist < eps) & jnp.isfinite(sol).all(-1)
+    in_i = (x0 + tmin_i >= tmin_i) & (x0 + tmin_i <= tmax_i)
+    in_j = (x1 + tmin_j >= tmin_j) & (x1 + tmin_j <= tmax_j)
+    finite = jnp.isfinite(x0) & jnp.isfinite(x1) & jnp.isfinite(x2)
+    conn = pair & in_i & in_j & (dist < eps) & finite
 
-    vals = jnp.stack([tmin_i + sol[..., 0], tmin_j + sol[..., 1]], axis=-1)
+    vals = jnp.stack([tmin_i + x0, tmin_j + x1], axis=-1)
     # write only on connection; stale entries persist (node.cpp:531-534)
     return jnp.where(conn[..., None], vals, inter_old)
 

@@ -121,6 +121,66 @@ def test_empty_frames_noop():
     compare_states(wm, ws)
 
 
+def test_fuse_frame_vectorized_matches_sequential(rng):
+    """The vectorized last-writer-wins fusion must be bit-identical to the
+    literal sequential loop, including slot collisions, capacity overflow,
+    and invalid frame segments."""
+    from pointcloud_segmentation_tpu.worldmap import (
+        fuse_frame, fuse_frame_sequential)
+
+    cfg = default_config(
+        granularity=2,
+        shapes=StaticShapes(max_raw_points=4096, max_points=2048,
+                            max_world_segments=6))  # tiny: forces overflow
+    for trial in range(20):
+        ws = init_world(cfg)
+        # pre-populate the world with a few random segments
+        n0 = int(rng.integers(0, 5))
+        frames = []
+        seed_segs = []
+        for _ in range(n0):
+            a = rng.normal(0, 0.5, 3)
+            b = rng.normal(0, 1, 3)
+            b /= max(np.linalg.norm(b), 1e-6)
+            seed_segs.append(_mk_seg(a, b, -1.0, 1.0))
+        if seed_segs:
+            ws, _ = world_step(ws, batch_from_oracle(seed_segs, cfg), cfg)
+
+        # frame: mix of near-duplicates (collisions), new lines (appends,
+        # some past capacity), and invalid rows
+        segs = []
+        for _ in range(int(rng.integers(1, 8))):
+            if seed_segs and rng.random() < 0.5:
+                base = seed_segs[int(rng.integers(0, len(seed_segs)))]
+                segs.append(_mk_seg(base.a + rng.normal(0, 0.002, 3), base.b,
+                                    -1.0 + rng.random() * 0.1, 1.0,
+                                    n=int(rng.integers(20, 90))))
+            else:
+                a = rng.normal(0, 0.5, 3)
+                b = rng.normal(0, 1, 3)
+                b /= max(np.linalg.norm(b), 1e-6)
+                segs.append(_mk_seg(a, b, -1.0, 1.0))
+        batch = batch_from_oracle(segs, cfg)
+        if rng.random() < 0.5:  # poke some invalid rows in the middle
+            v = np.asarray(batch.valid).copy()
+            i = int(rng.integers(0, len(segs)))
+            v[i] = False
+            batch = batch._replace(valid=jnp.asarray(v))
+
+        out_v = fuse_frame(ws, batch, cfg)
+        out_s = fuse_frame_sequential(ws, batch, cfg)
+        for field, (xv, xs) in enumerate(zip(out_v, out_s)):
+            if isinstance(xv, dict):
+                for key in xv:
+                    np.testing.assert_array_equal(
+                        np.asarray(xv[key]), np.asarray(xs[key]),
+                        err_msg=f"trial {trial} field {key}")
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(xv), np.asarray(xs),
+                    err_msg=f"trial {trial} output #{field}")
+
+
 def test_full_process_frame_matches_oracle_end_to_end():
     """The flagship parity test: jit'd process_frame vs oracle on a real
     simulated trajectory over the 7-beam benchmark scene."""

@@ -117,7 +117,9 @@ def main():
     print("num_x (dynamic):", int(num_x), file=sys.stderr)
 
     eps = jnp.float32(1e-20)
-    reps = 8
+    # NB reps=8 (the first run of this script) buries every number under a
+    # ~3 ms RTT/reps readback floor — see PERF.md measurement trap #3.
+    reps = 64
 
     def time_variant(label, fn, X0, *a):
         @jax.jit
