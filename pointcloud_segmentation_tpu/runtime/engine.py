@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import queue
 import threading
 import time
 from typing import List, Optional, Tuple
@@ -112,6 +113,30 @@ class SegmentationEngine:
         # deleted").  Writers hold it across dispatch+swap; readers hold
         # it across their device->host conversions.
         self._state_lock = threading.Lock()
+        # Serializes blocking device->host READS against each other.  The
+        # relay wedge (CLAUDE.md) is specifically two threads parked in
+        # synchronous reads at once; a read CONCURRENT WITH DISPATCHES is
+        # safe and cheap (measured: dispatch p50 0.65 ms during an
+        # in-flight batched read vs 0.55 ms without, no wedge —
+        # tools/exp_concurrent_read.py).  That asymmetry is what lets the
+        # streaming flush readback run on a dedicated flusher thread off
+        # the dispatch critical path.  Lock order is ALWAYS
+        # _state_lock -> _read_lock; the flusher takes only _read_lock.
+        self._read_lock = threading.Lock()
+        self._flush_q: Optional["queue.Queue"] = None
+        self._flusher: Optional[threading.Thread] = None
+        # Set while the streaming worker has no fresh frame (mailbox take
+        # timed out); the flusher only STARTS a batched read inside such an
+        # idle window.  On this testbed a device->host read behaves like a
+        # device-queue sync: under a saturating feed it returns only when
+        # the queue momentarily drains, so a read started mid-feed drags
+        # for seconds while slowing concurrent step execution (measured:
+        # 1.5 s reads + ~2x device time per frame at a 100 Hz feed vs
+        # 39 ms reads when the queue drains between frames).  Idle-gating
+        # keeps the saturated path at full dispatch throughput; queued
+        # batches drain in stream pauses and at stop().
+        self._worker_idle = threading.Event()
+        self._worker_idle.set()
         self._program_start: Optional[float] = None
         self._worker: Optional[threading.Thread] = None
         self._running = False
@@ -295,13 +320,15 @@ class SegmentationEngine:
     def _process_jax(self, points, position, quat) -> dict:
         jnp = self._jnp
         raw = jnp.asarray(self._pad_raw(points))
-        # The lock covers the dispatch AND every device->host read of this
+        # The locks cover the dispatch AND every device->host read of this
         # frame: besides the donation race (see __init__), the axon relay
         # WEDGES if two threads block in synchronous host reads at the same
         # time (both stuck in array._value indefinitely — observed between
-        # a server-thread world_segments() and this scalar readback).  All
-        # device access therefore serializes through _state_lock.
-        with self._state_lock:
+        # a server-thread world_segments() and this scalar readback).
+        # Reads therefore additionally hold _read_lock (the flusher thread
+        # synchronizes its batched readbacks through it without blocking
+        # dispatches).
+        with self._state_lock, self._read_lock:
             self._state, out, scalars = self._step(
                 self._state, raw,
                 jnp.asarray(position, self._npdt),
@@ -445,7 +472,7 @@ class SegmentationEngine:
                 poss[i], quats[i] = pose
                 live.append(i)
             start = self._now()
-            with self._state_lock:
+            with self._state_lock, self._read_lock:
                 self._state, nlines, statuses, counts, overflows = step(
                     self._state, jnp.asarray(clouds), jnp.asarray(poss),
                     jnp.asarray(quats))
@@ -510,7 +537,7 @@ class SegmentationEngine:
             self.frames_processed += 1
         if counters:
             t0 = self._now()
-            with self._state_lock:
+            with self._state_lock, self._read_lock:
                 stacked = jnp.stack(counters)   # (F, 4) int32
                 vals = np.asarray(stacked)      # single device sync
             sync_us = (self._now() - t0) * 1e6
@@ -543,7 +570,7 @@ class SegmentationEngine:
             # seconds, which would be paid mid-stream and shed frames.
             jnp = self._jnp
             z = jnp.zeros((4,), jnp.int32)
-            with self._state_lock:
+            with self._state_lock, self._read_lock:
                 _ = np.asarray(jnp.stack([z] * self.stream_sync_every))
             self._flush_warmed = True
         if getattr(self, "_mailbox_closed", False):
@@ -553,6 +580,13 @@ class SegmentationEngine:
             self.mailbox = self._make_mailbox()
             self._mailbox_closed = False
         self._running = True
+        if self._stream_deferred:
+            # Dedicated reader: batched readbacks run here so the worker
+            # never blocks on the relay round-trip (see _read_lock notes).
+            self._flush_q = queue.Queue()
+            self._flusher = threading.Thread(target=self._flusher_loop,
+                                             daemon=True)
+            self._flusher.start()
         self._worker = threading.Thread(target=self._worker_loop, daemon=True)
         self._worker.start()
 
@@ -604,32 +638,45 @@ class SegmentationEngine:
         return True
 
     def _flush_pending(self) -> None:
-        """Backfill every pending record with ONE batched device->host
-        readback (the scalar handles are stacked on device first, so the
-        whole batch costs a single relay round-trip).  The sync time is
-        folded into the last flushed frame's processing_time, matching the
-        pipelined-replay convention; D-CAP overflow accounting is exact."""
+        """Hand the pending batch to the flusher thread: stack the scalar
+        handles on device (a DISPATCH — ~1 ms, stays on the worker thread
+        so device submission order is unambiguous) and enqueue the stacked
+        handle; the flusher does the only blocking read.  The worker never
+        stalls on the ~25-50 ms relay round-trip, which previously shed
+        1-2 frames per flush at a 30 Hz feed."""
         if not self._pending:
             return
         jnp = self._jnp
-        k = len(self._pending)
-        handles = [s for _, s in self._pending]
+        batch = self._pending
+        self._pending = []
+        handles = [s for _, s in batch]
         # Pad to the FIXED pipeline depth before stacking: every distinct
         # stack length is a distinct XLA program, and on the axon relay each
         # new shape is a REMOTE compile costing seconds — a varying-k stack
         # turned the first deferred-streaming attempt into a compile storm
         # (measured: 23 clouds/s instead of ~95, then a wedged relay).  One
         # (K, 4) shape compiles once and serves every flush.
-        handles += [handles[-1]] * (self.stream_sync_every - k)
-        t0 = self._now()
+        handles += [handles[-1]] * (self.stream_sync_every - len(handles))
         with self._state_lock:
             stacked = jnp.stack(handles)        # always (K, 4) int32
+        self._flush_q.put((batch, stacked))
+
+    def _backfill_batch(self, batch, stacked) -> None:
+        """Flusher-thread half of a flush: ONE batched device->host
+        readback backfills every record truthfully.  The sync time is
+        folded into the batch's last processing_time, keeping the
+        pipelined-replay convention that summed processing_time accounts
+        for the readback cost (the read now OVERLAPS dispatches — it is an
+        accounting entry, not a pipeline stall).  D-CAP accounting exact."""
+        k = len(batch)
+        t0 = self._now()
+        with self._read_lock:                   # the ONLY concurrent read
             vals = np.asarray(stacked)[:k]      # single sync
         sync_us = (self._now() - t0) * 1e6
-        for (rec, _), row in zip(self._pending, vals):
+        for (rec, _), row in zip(batch, vals):
             rec["seg_vec_size"] = int(row[0])
             rec["nblines"] = max(int(row[1]), 0)
-        self._pending[-1][0]["processing_time"] += sync_us
+        batch[-1][0]["processing_time"] += sync_us
         overflow = vals[:, 3]
         self.world_overflow_frames += int((overflow > 0).sum())
         if overflow.sum():
@@ -638,15 +685,34 @@ class SegmentationEngine:
                 "segment(s) across %d frame(s) (D-CAP)",
                 self.cfg.shapes.max_world_segments, int(overflow.sum()),
                 int((overflow > 0).sum()))
-        self._pending.clear()
         # checkpoint cadence in deferred mode: flush boundaries are the only
         # points where the map is host-consistent, so save once per crossed
         # multiple of checkpoint_every rather than per exact frame
+        # (save_checkpoint re-acquires _state_lock -> _read_lock, so it must
+        # run OUTSIDE the read lock held above)
         if self.checkpoint_every and self.checkpoint_path:
             k = self.frames_processed // self.checkpoint_every
             if k > self._last_checkpoint_k:
                 self._last_checkpoint_k = k
                 self.save_checkpoint(self.checkpoint_path)
+
+    def _flusher_loop(self) -> None:
+        while True:
+            item = self._flush_q.get()
+            if item is None:
+                return
+            # Start the blocking read only in a worker-idle window (see
+            # _worker_idle) — a read against a continuously-fed device
+            # queue drags for seconds and slows the steps it overlaps.
+            # Once the stream is stopping (_running False) read at will:
+            # the feed has ended and the queue is draining.
+            while self._running and not self._worker_idle.wait(timeout=0.05):
+                pass
+            try:
+                self._backfill_batch(*item)
+            except Exception:
+                logger.exception("flush backfill failed; records keep "
+                                 "their -1 sentinels for this batch")
 
     def _worker_loop(self) -> None:
         # A processing error must not silently kill the consumer thread (the
@@ -659,6 +725,7 @@ class SegmentationEngine:
                        if (deferred and self._pending) else 0.1)
             item = self.mailbox.take(timeout=timeout)
             if item is None:
+                self._worker_idle.set()
                 if (deferred and self._pending
                         and (self._now() - self._pending_t0
                              >= self._STREAM_FLUSH_AGE_S)):
@@ -667,6 +734,7 @@ class SegmentationEngine:
                     except Exception:
                         logger.exception("pending flush failed")
                 continue
+            self._worker_idle.clear()
             t, points = item
             try:
                 if deferred:
@@ -683,6 +751,7 @@ class SegmentationEngine:
                 self._flush_pending()
             except Exception:
                 logger.exception("final pending flush failed")
+        self._worker_idle.set()    # stream over: let the flusher drain
 
     def drain(self, target_total: Optional[int] = None,
               timeout: float = 60.0, poll_s: float = 0.05) -> bool:
@@ -727,6 +796,17 @@ class SegmentationEngine:
                                "compile); waiting for a clean stop")
                 self._worker.join(timeout=30.0)
             self._worker = None
+        if self._flusher is not None:
+            # The worker's exit path enqueued its final batch; the sentinel
+            # is therefore ordered after every real flush.  Join without a
+            # deadline: abandoning a reader mid-np.asarray would risk a
+            # second concurrent read (the wedge) on a later call.
+            self._flush_q.put(None)
+            self._flusher.join(timeout=30.0)
+            while self._flusher.is_alive():
+                logger.warning("flusher still draining readbacks; waiting")
+                self._flusher.join(timeout=30.0)
+            self._flusher = None
 
     def run_streaming_from_log(self, log_path: str, rate_hz: float = 30.0,
                                loops: int = 1, poll_s: float = 0.05) -> dict:
@@ -844,14 +924,14 @@ class SegmentationEngine:
                      "radius": s.radius, "points_size": s.points_size,
                      "pca_coeff": s.pca_coeff}
                     for s in self._wm.segments]
-        with self._state_lock:
+        with self._state_lock, self._read_lock:
             return self._world_segments_locked()
 
     def intersections_rows(self) -> List[tuple]:
         """(seg1, t1, seg2, t2) rows, upper-triangular order (node.cpp:858)."""
         if self.backend == "oracle":
             return self._wm.intersections_rows()
-        with self._state_lock:
+        with self._state_lock, self._read_lock:
             return self._intersections_locked()
 
     def world_snapshot(self) -> Tuple[List[dict], List[tuple]]:
@@ -863,7 +943,7 @@ class SegmentationEngine:
         if self.backend == "oracle":
             with self._state_lock:
                 return self.world_segments(), self._wm.intersections_rows()
-        with self._state_lock:
+        with self._state_lock, self._read_lock:
             return self._world_segments_locked(), self._intersections_locked()
 
     def visualization(self) -> dict:
@@ -909,7 +989,7 @@ class SegmentationEngine:
                 dtype=np.float64).reshape(-1, 4),
         }
         if self.backend == "jax":
-            with self._state_lock:   # one consistent state snapshot
+            with self._state_lock, self._read_lock:   # consistent snapshot
                 for k in ("a", "b", "t_min", "t_max", "radius",
                           "points_size", "pca_coeff", "pca_eigenvalues",
                           "valid", "count", "inter"):

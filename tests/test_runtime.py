@@ -413,3 +413,42 @@ def test_engine_batched_replay_ragged_tail(replay_frames):
     recs = eng.run_replay(replay_frames[:5], batch=3)
     assert len(recs) == 5
     assert eng.frames_processed == 5
+
+
+def test_engine_streaming_deferred_concurrent_queries(replay_frames):
+    """Server-style readers (world_snapshot / world_segments) issued WHILE
+    the deferred stream is active must coexist with the flusher thread's
+    batched readbacks: reads serialize through _read_lock, dispatches keep
+    flowing, and the final map still matches a synchronous replay."""
+    eng = SegmentationEngine(CFG, backend="jax", stream_sync_every=2)
+    assert eng._stream_deferred
+    eng.start()
+    stop_flag = threading.Event()
+    snap_counts = []
+    errors = []
+
+    def reader():
+        while not stop_flag.is_set():
+            try:
+                segs, inter = eng.world_snapshot()
+                snap_counts.append(len(segs))
+            except Exception as e:        # pragma: no cover - failure path
+                errors.append(e)
+                return
+            time.sleep(0.003)
+
+    rt = threading.Thread(target=reader)
+    rt.start()
+    for fr in replay_frames:
+        _submit_and_wait(eng, fr)
+    stop_flag.set()
+    rt.join(timeout=30.0)
+    eng.stop()
+    assert not errors
+    assert snap_counts, "reader thread never got a snapshot"
+    # monotone non-decreasing world growth seen by the concurrent reader
+    assert all(b >= a for a, b in zip(snap_counts, snap_counts[1:]))
+    assert all(r["seg_vec_size"] >= 0 for r in eng.records)
+    eng_s = SegmentationEngine(CFG, backend="jax")
+    eng_s.run_replay(replay_frames)
+    assert len(eng.world_segments()) == len(eng_s.world_segments())
