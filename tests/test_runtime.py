@@ -452,3 +452,28 @@ def test_engine_streaming_deferred_concurrent_queries(replay_frames):
     eng_s = SegmentationEngine(CFG, backend="jax")
     eng_s.run_replay(replay_frames)
     assert len(eng.world_segments()) == len(eng_s.world_segments())
+
+
+def test_engine_deferred_restart_after_stop(replay_frames):
+    """A second deferred-streaming session after stop() gets a fresh
+    flusher thread + flush queue; records from BOTH sessions end up
+    backfilled and the world map equals one continuous synchronous
+    replay."""
+    half = len(replay_frames) // 2
+    eng = SegmentationEngine(CFG, backend="jax", stream_sync_every=3)
+    assert eng._stream_deferred
+    eng.start()
+    for fr in replay_frames[:half]:
+        _submit_and_wait(eng, fr)
+    eng.stop()
+    assert eng._flusher is None          # joined at stop
+    eng.start()
+    for fr in replay_frames[half:]:
+        _submit_and_wait(eng, fr)
+    eng.stop()
+    assert eng.frames_processed == len(replay_frames)
+    assert all(r["seg_vec_size"] >= 0 and r["nblines"] >= 0
+               for r in eng.records)
+    eng_s = SegmentationEngine(CFG, backend="jax")
+    eng_s.run_replay(replay_frames)
+    assert len(eng.world_segments()) == len(eng_s.world_segments())
