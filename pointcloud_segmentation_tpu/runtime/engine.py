@@ -602,6 +602,10 @@ class SegmentationEngine:
     # relay jitter); age-gating amortizes one round-trip over
     # rate * age frames while keeping record backfill latency bounded.
     _STREAM_FLUSH_AGE_S = 0.5
+    # Max batches enqueued-but-unread before the worker pauses dispatch
+    # (bounds in-flight frames to ~(this+1) * stream_sync_every under a
+    # sustained overfeed — see the backpressure note in _worker_loop).
+    _STREAM_MAX_UNREAD_BATCHES = 2
 
     def _process_frame_deferred(self, t: float, points: np.ndarray) -> bool:
         """Streaming fast path: dispatch the jit'd step WITHOUT the per-frame
@@ -741,6 +745,22 @@ class SegmentationEngine:
                     self._process_frame_deferred(t, points)
                     if len(self._pending) >= self.stream_sync_every:
                         self._flush_pending()
+                        # Backpressure under sustained overfeed: the old
+                        # synchronous flush bounded dispatch-ahead as a
+                        # side effect; with the async flusher an overfed
+                        # stream would otherwise grow the device queue
+                        # (and worst-case memory/latency) without limit.
+                        # Cap unread batches: pause dispatch — explicitly
+                        # signaling an idle window so the flusher's gated
+                        # read can proceed — until the flusher catches up.
+                        # The stall is device-drain time the saturated
+                        # stream had to pay anyway; the mailbox keeps
+                        # latest-wins dropping meanwhile, exactly like
+                        # the reference under load.
+                        while (self._running and self._flush_q.qsize()
+                                >= self._STREAM_MAX_UNREAD_BATCHES):
+                            self._worker_idle.set()
+                            time.sleep(0.005)
                 else:
                     self.process_frame(t, points)
             except Exception:

@@ -477,3 +477,48 @@ def test_engine_deferred_restart_after_stop(replay_frames):
     eng_s = SegmentationEngine(CFG, backend="jax")
     eng_s.run_replay(replay_frames)
     assert len(eng.world_segments()) == len(eng_s.world_segments())
+
+
+def test_engine_deferred_overfeed_bounded_inflight(replay_frames):
+    """Sustained overfeed must NOT grow the unread-flush queue without
+    bound: once _STREAM_MAX_UNREAD_BATCHES batches are enqueued the worker
+    pauses dispatch (opening the idle window the flusher's gated read
+    needs) until the flusher catches up.  A deliberately slowed backfill
+    forces the queue toward the cap while frames are force-fed."""
+    eng = SegmentationEngine(CFG, backend="jax", stream_sync_every=2)
+    assert eng._stream_deferred
+    seen = {"max_q": 0}
+    orig = eng._backfill_batch
+
+    def slow_backfill(batch, stacked):
+        seen["max_q"] = max(seen["max_q"], eng._flush_q.qsize())
+        time.sleep(0.15)
+        orig(batch, stacked)
+
+    eng._backfill_batch = slow_backfill
+    eng.start()
+    for fr in replay_frames:
+        eng.push_pose(fr.t, fr.position, fr.quat_wxyz)
+    # overfeed for a fixed window: the worker flushes every 2 frames while
+    # each backfill takes >=50 ms, so unread batches pile up to the cap
+    t_end = time.time() + 4.0
+    i = 0
+    while time.time() < t_end:
+        fr = replay_frames[i % len(replay_frames)]
+        eng.submit_cloud(fr.t, fr.points)
+        i += 1
+        time.sleep(0.002)
+    # settle: give the (slowed) flusher time to drain before stopping
+    deadline = time.time() + 60.0
+    while eng._flush_q.qsize() > 0 and time.time() < deadline:
+        time.sleep(0.05)
+    eng.stop()
+    # the pile-up really happened (>=1 batch was still queued when a
+    # backfill started), and the cap was respected (qsize is sampled
+    # after the flusher pops, so the bound is the cap itself)
+    assert seen["max_q"] >= 1
+    assert seen["max_q"] <= eng._STREAM_MAX_UNREAD_BATCHES
+    # every processed frame's record was eventually backfilled
+    assert all(r["seg_vec_size"] >= 0 and r["nblines"] >= 0
+               for r in eng.records)
+    assert eng.frames_processed >= 1
