@@ -580,6 +580,29 @@ class SegmentationEngine:
             self.mailbox = self._make_mailbox()
             self._mailbox_closed = False
         self._running = True
+        if not getattr(self, "_atexit_registered", False):
+            # An engine abandoned without stop() would let the interpreter
+            # kill the daemon worker/flusher threads mid-device-call at
+            # exit — on the relayed testbed that can abort inside the PJRT
+            # client and leave a stale device claim that blocks the NEXT
+            # process for minutes (observed).  atexit runs before thread
+            # teardown, so a clean stop() here joins both threads first.
+            # weakref: the hook must not keep dropped engines alive.
+            import atexit
+            import weakref
+
+            ref = weakref.ref(self)
+
+            def _cleanup():
+                eng = ref()
+                if eng is not None and eng._running:
+                    try:
+                        eng.stop()
+                    except Exception:       # pragma: no cover - exit path
+                        logger.exception("atexit engine stop failed")
+
+            atexit.register(_cleanup)
+            self._atexit_registered = True
         if self._stream_deferred:
             # Dedicated reader: batched readbacks run here so the worker
             # never blocks on the relay round-trip (see _read_lock notes).

@@ -522,3 +522,33 @@ def test_engine_deferred_overfeed_bounded_inflight(replay_frames):
     assert all(r["seg_vec_size"] >= 0 and r["nblines"] >= 0
                for r in eng.records)
     assert eng.frames_processed >= 1
+
+
+def test_engine_atexit_guard_stops_abandoned_engine():
+    """start() registers an atexit hook that stops a still-running engine
+    (an abandoned engine's daemon threads must not be killed mid-device-
+    call at interpreter exit — stale-claim hazard on relayed devices).
+    The hook holds only a weakref, so dropped engines stay collectable."""
+    import atexit
+    import gc
+    import weakref
+
+    recorded = []
+    orig_register = atexit.register
+    try:
+        atexit.register = lambda fn, *a, **k: recorded.append(fn) or fn
+        eng = SegmentationEngine(CFG, backend="oracle")
+        eng.start()
+    finally:
+        atexit.register = orig_register
+    assert len(recorded) == 1
+    assert eng._running
+    recorded[0]()                 # simulate interpreter exit
+    assert not eng._running
+    assert eng._worker is None
+    # weakref: the hook must not keep the engine alive
+    wr = weakref.ref(eng)
+    del eng
+    gc.collect()
+    assert wr() is None
+    recorded[0]()                 # hook on a collected engine is a no-op
