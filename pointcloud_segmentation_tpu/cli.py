@@ -113,9 +113,25 @@ def _frames(args, cfg):
                                TofSpec(noise_frac=args.noise), seed=args.seed)
 
 
+def _reject_orphan_world_points(args) -> bool:
+    """--viz-world-points only feeds the viz stream's `hough_points`; with
+    no --viz-stream it would silently accumulate every frame's inlier
+    points host-side (unbounded RSS) and, in stream mode, force per-frame
+    device readbacks that collapse the deferred fast path — with zero
+    output.  Refuse instead."""
+    if getattr(args, "viz_world_points", False) and not args.viz_stream:
+        print("error: --viz-world-points requires --viz-stream FILE "
+              "(it only populates the viz stream's hough_points)",
+              file=sys.stderr)
+        return True
+    return False
+
+
 def cmd_run(args) -> int:
     from .runtime import SegmentationEngine
 
+    if _reject_orphan_world_points(args):
+        return 2
     cfg = _build_cfg(args)
     frames = _frames(args, cfg)
     eng = SegmentationEngine(
@@ -166,6 +182,8 @@ def cmd_stream(args) -> int:
     rate — the closest analog of the live ROS node loop."""
     from .runtime import SegmentationEngine
 
+    if _reject_orphan_world_points(args):
+        return 2
     cfg = _build_cfg(args)
     eng = SegmentationEngine(
         cfg, backend=args.backend, viz_stream=args.viz_stream,

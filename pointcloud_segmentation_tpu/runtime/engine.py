@@ -37,6 +37,30 @@ from . import csvio
 logger = logging.getLogger("pointcloud_segmentation_tpu")
 
 
+def _cap_points_per_slot(arrs, cap):
+    """Waterfill a total point budget across per-segment arrays, keeping
+    each slot's NEWEST points.  Every non-empty slot gets an equal share;
+    shares a short slot can't use are redistributed to longer ones, so the
+    cap is met exactly whenever sum(len) >= cap and no slot is starved."""
+    lens = [len(a) for a in arrs]
+    quota = [0] * len(arrs)
+    remaining = min(cap, sum(lens))
+    active = [i for i, n in enumerate(lens) if n > 0]
+    while remaining > 0 and active:
+        share = max(remaining // len(active), 1)
+        still = []
+        for i in active:
+            take = min(share, lens[i] - quota[i], remaining)
+            quota[i] += take
+            remaining -= take
+            if quota[i] < lens[i]:
+                still.append(i)
+            if remaining <= 0:
+                break
+        active = still
+    return [a[len(a) - q:] for a, q in zip(arrs, quota) if q]
+
+
 class SegmentationEngine:
     def __init__(self, cfg: PipelineConfig, backend: str = "jax",
                  collect_inlier_points: bool = False,
@@ -289,10 +313,24 @@ class SegmentationEngine:
             # — the reference's message grows unbounded); otherwise fall
             # back to the current frame's accepted inliers only.
             if self.collect_inlier_points:
-                pts = [p for lst in self._inlier_points.values() for p in lst]
-                acc = (np.concatenate(pts, axis=0) if pts
+                # Cap FAIRLY across world slots (waterfill, newest points
+                # kept per slot): a tail slice of the slot-ordered
+                # concatenation would drop low-numbered segments entirely
+                # once the total exceeds the cap, starving them in the
+                # viewer forever.
+                if self.backend == "jax":
+                    arrs = [np.concatenate(lst, axis=0)
+                            for lst in self._inlier_points.values() if lst]
+                else:
+                    # the oracle's Segment.points ARE the accumulated
+                    # world-frame inlier store (drone_to_world transforms
+                    # them before fusion) — republish straight from it
+                    arrs = [np.asarray(s.points)
+                            for s in self._wm.segments if len(s.points)]
+                parts = _cap_points_per_slot(arrs, cap)
+                acc = (np.concatenate(parts, axis=0) if parts
                        else np.zeros((0, 3)))
-                rec["hough_points"] = np.round(acc[-cap:], 4).tolist()
+                rec["hough_points"] = np.round(acc, 4).tolist()
                 rec["hough_points_world_accumulated"] = True
             else:
                 rec["hough_points"] = np.round(
@@ -406,9 +444,12 @@ class SegmentationEngine:
             filtered = self._oracle.cloud_filtering(
                 np.asarray(points, np.float64).reshape(-1, 3), self.cfg)
             R = np.array(geometry.quat_to_rot(*np.asarray(quat, np.float64)))
+            accepted = [s.points for s in res.segments_in_frame
+                        if len(s.points)]
             self._frame_points = {
                 "filtered": filtered @ R.T + np.asarray(position),
-                "hough": np.zeros((0, 3))}
+                "hough": (np.concatenate(accepted, axis=0) if accepted
+                          else np.zeros((0, 3)))}
         return {
             "world_count": len(self._wm.segments),
             "nlines": res.nblines,
@@ -766,29 +807,38 @@ class SegmentationEngine:
             try:
                 if deferred:
                     self._process_frame_deferred(t, points)
-                    if len(self._pending) >= self.stream_sync_every:
-                        self._flush_pending()
-                        # Backpressure under sustained overfeed: the old
-                        # synchronous flush bounded dispatch-ahead as a
-                        # side effect; with the async flusher an overfed
-                        # stream would otherwise grow the device queue
-                        # (and worst-case memory/latency) without limit.
-                        # Cap unread batches: pause dispatch — explicitly
-                        # signaling an idle window so the flusher's gated
-                        # read can proceed — until the flusher catches up.
-                        # The stall is device-drain time the saturated
-                        # stream had to pay anyway; the mailbox keeps
-                        # latest-wins dropping meanwhile, exactly like
-                        # the reference under load.
-                        while (self._running and self._flush_q.qsize()
-                                >= self._STREAM_MAX_UNREAD_BATCHES):
-                            self._worker_idle.set()
-                            time.sleep(0.005)
                 else:
                     self.process_frame(t, points)
             except Exception:
                 self.frames_failed += 1
                 logger.exception("frame at t=%s failed; worker continues", t)
+            # The every-K flush runs OUTSIDE the per-frame handler: a flush
+            # failure is a readback-batch loss (records keep their -1
+            # sentinels), NOT a failed frame — folding it into
+            # frames_failed double-counted an already-processed frame and
+            # skewed drain()/drop accounting.
+            if deferred and len(self._pending) >= self.stream_sync_every:
+                try:
+                    self._flush_pending()
+                except Exception:
+                    logger.exception("pending flush failed; records keep "
+                                     "their -1 sentinels for this batch")
+                # Backpressure under sustained overfeed: the old
+                # synchronous flush bounded dispatch-ahead as a
+                # side effect; with the async flusher an overfed
+                # stream would otherwise grow the device queue
+                # (and worst-case memory/latency) without limit.
+                # Cap unread batches: pause dispatch — explicitly
+                # signaling an idle window so the flusher's gated
+                # read can proceed — until the flusher catches up.
+                # The stall is device-drain time the saturated
+                # stream had to pay anyway; the mailbox keeps
+                # latest-wins dropping meanwhile, exactly like
+                # the reference under load.
+                while (self._running and self._flush_q.qsize()
+                        >= self._STREAM_MAX_UNREAD_BATCHES):
+                    self._worker_idle.set()
+                    time.sleep(0.005)
         if deferred and self._pending:
             try:
                 self._flush_pending()
@@ -1023,12 +1073,20 @@ class SegmentationEngine:
         """Serialize the world map + per-frame records (checkpoint/resume —
         a capability gap in the reference, whose map lives only in RAM,
         SURVEY.md §5).  Fixed-capacity arrays make this a flat npz."""
+        # Deferred-streaming mode: frames dispatched after the batch being
+        # flushed still carry -1 sentinel counters; serializing them would
+        # make a resumed engine's processing_time.csv contain -1 rows the
+        # synchronous path never produces.  Keep only backfilled records
+        # (the world state ahead of them is still saved — it is the device
+        # truth; the skipped rows are telemetry that was not yet synced).
+        done = [r for r in self.records if r["seg_vec_size"] >= 0]
         payload = {
             "backend": np.array(self.backend),
             "frames_processed": np.array(self.frames_processed),
+            "records_pending": np.array(len(self.records) - len(done)),
             "records": np.array(
                 [[r["wall_time"], r["processing_time"], r["seg_vec_size"],
-                  r["nblines"]] for r in self.records],
+                  r["nblines"]] for r in done],
                 dtype=np.float64).reshape(-1, 4),
         }
         if self.backend == "jax":

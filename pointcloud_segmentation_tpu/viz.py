@@ -164,19 +164,66 @@ class VizStreamServer:
                 .replace("__LIVE__", _VIZ_LIVE_SNIPPET)
                 .replace("__POLL_MS__", str(int(poll_ms)))).encode()
 
-        def read_frames(start: int):
-            out = []
+        import os as _os
+        import threading as _threading
+
+        # Incremental tail index: offsets[i] = byte offset where line i
+        # starts; offsets[nlines] = resume point after the last COMPLETE
+        # (newline-terminated) line.  Re-reading the whole JSONL on every
+        # 500 ms poll made long --viz-points sessions O(file) per poll
+        # (multi-GB after an hour at 30 Hz); each poll is now O(new data)
+        # and the common follow-up poll (start == nlines) touches nothing.
+        cache_lock = _threading.Lock()
+        cache = {"seen": 0, "offsets": [0], "nlines": 0}
+
+        def _index_new_lines():
             try:
-                with open(path) as f:
-                    for i, line in enumerate(f):
-                        line = line.strip()
-                        if line and i >= start:
-                            try:
-                                out.append(_json.loads(line))
-                            except ValueError:
-                                pass  # torn tail line mid-write; next poll
+                size = _os.stat(path).st_size
             except OSError:
-                pass
+                return
+            tail = cache["offsets"][cache["nlines"]]
+            if size < tail:                 # truncated/recreated producer
+                cache.update(seen=0, offsets=[0], nlines=0)
+                tail = 0
+            if size <= cache["seen"]:
+                return
+            try:
+                with open(path, "rb") as f:
+                    f.seek(tail)
+                    data = f.read()
+            except OSError:
+                return
+            cache["seen"] = size
+            idx = 0
+            while True:
+                nl = data.find(b"\n", idx)
+                if nl < 0:                  # torn tail line; next poll
+                    break
+                cache["nlines"] += 1
+                cache["offsets"].append(tail + nl + 1)
+                idx = nl + 1
+
+        def read_frames(start: int):
+            start = max(int(start), 0)
+            with cache_lock:
+                _index_new_lines()
+                if start >= cache["nlines"]:
+                    return []
+                off0 = cache["offsets"][start]
+                end = cache["offsets"][cache["nlines"]]
+            try:
+                with open(path, "rb") as f:
+                    f.seek(off0)
+                    data = f.read(end - off0)
+            except OSError:
+                return []
+            out = []
+            for line in data.split(b"\n"):
+                if line.strip():
+                    try:
+                        out.append(_json.loads(line))
+                    except ValueError:
+                        pass                # torn mid-write; next poll
             return out
 
         class Handler(http.server.BaseHTTPRequestHandler):

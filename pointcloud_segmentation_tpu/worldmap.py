@@ -17,9 +17,14 @@ executable spec — oracle/pipeline.py):
     stale entries persist until overwritten (node.cpp:531-534).
 
 The per-frame fusion is order-dependent (first-match-wins with in-frame
-mutation), so it runs as a sequential ``lax.fori_loop`` over the frame's few
-segments; each step's candidate matching *is* vectorized over all world
-slots.  Intersections are one batched (S, S) 3x3 solve.
+mutation), but every segment matches against the FRAME-START world set, so
+the hot path (`fuse_frame`) vectorizes the similarity + fusion math for all
+L frame segments at once and resolves the order dependence in closed form:
+append slots via an exclusive prefix sum, repeated fuses into one slot via
+a last-writer-wins scatter.  A literal unrolled sequential twin
+(`fuse_frame_sequential`) is kept as the executable spec and fuzzed
+bit-identical (tests/test_worldmap_jax.py).  Intersections are one batched
+(S, S) component-plane Cramer solve.
 """
 
 from __future__ import annotations

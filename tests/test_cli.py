@@ -144,3 +144,14 @@ def test_cli_viz_points_feed(tmp_path, capsys):
         if backend == "jax" and any(r["nlines"] > 0 for r in recs):
             assert any(len(r["hough_points"]) > 0
                        for r in recs if r["nlines"] > 0)
+
+
+def test_cli_rejects_orphan_viz_world_points(tmp_path, capsys):
+    """--viz-world-points without --viz-stream would silently accumulate
+    inlier points host-side (and kill the deferred streaming fast path)
+    with zero output — the CLI refuses it."""
+    rc = main(["run", "--granularity", "2", "--backend", "oracle",
+               "--viz-world-points", "--max-frames", "1",
+               "--out", str(tmp_path)])
+    assert rc == 2
+    assert "--viz-stream" in capsys.readouterr().err

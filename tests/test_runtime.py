@@ -552,3 +552,54 @@ def test_engine_atexit_guard_stops_abandoned_engine():
     gc.collect()
     assert wr() is None
     recorded[0]()                 # hook on a collected engine is a no-op
+
+
+def test_engine_streaming_flush_failure_not_a_failed_frame(replay_frames):
+    """A readback-batch flush failure (relay hiccup in jnp.stack) loses that
+    batch's counters — it must NOT be folded into frames_failed: every
+    frame really processed, so drain()/drop accounting stays exact and the
+    batch is retried by the next flush."""
+    eng = SegmentationEngine(CFG, backend="jax", stream_sync_every=2)
+    assert eng._stream_deferred
+    orig = eng._flush_pending
+    boom = {"armed": True}
+
+    def exploding_flush():
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("relay hiccup")
+        orig()
+
+    eng._flush_pending = exploding_flush
+    eng.start()
+    for fr in replay_frames[:4]:
+        _submit_and_wait(eng, fr)
+    eng.stop()
+    assert eng.frames_failed == 0
+    assert eng.frames_processed == 4
+    # the failed batch stayed pending and the next flush backfilled it
+    assert all(r["seg_vec_size"] >= 0 and r["nblines"] >= 0
+               for r in eng.records)
+
+
+def test_checkpoint_skips_sentinel_records(tmp_path):
+    """Deferred mode dispatches ahead of the backfill, so a checkpoint can
+    race records still carrying -1 sentinels; those rows are telemetry not
+    yet synced and must not be serialized (a resumed engine's
+    processing_time.csv would otherwise contain -1 rows the synchronous
+    path never produces)."""
+    ckpt = str(tmp_path / "ck.npz")
+    eng = SegmentationEngine(CFG, backend="jax")
+    eng.records = [
+        {"wall_time": 1.0, "processing_time": 2.0,
+         "seg_vec_size": 3, "nblines": 1},
+        {"wall_time": 2.0, "processing_time": 2.5,
+         "seg_vec_size": -1, "nblines": -1},
+    ]
+    eng.frames_processed = 2
+    eng.save_checkpoint(ckpt)
+    eng2 = SegmentationEngine(CFG, backend="jax")
+    eng2.load_checkpoint(ckpt)
+    assert [r["seg_vec_size"] for r in eng2.records] == [3]
+    assert eng2.frames_processed == 2        # world state is device truth
+    assert int(np.load(ckpt)["records_pending"]) == 1

@@ -137,3 +137,47 @@ def test_viz_world_accumulated_hough_points():
     assert sizes[-1] > 0
     # the cap is enforced
     assert all(s <= 4096 for s in sizes)
+
+
+def test_cap_points_per_slot_fairness():
+    """The 4096-point hough_points cap waterfills across world slots —
+    a tail slice of the slot-ordered concatenation starved low-numbered
+    segments entirely once the total exceeded the cap."""
+    from pointcloud_segmentation_tpu.runtime.engine import _cap_points_per_slot
+
+    arrs = [np.arange(3000), np.arange(3000), np.arange(10)]
+    parts = _cap_points_per_slot(arrs, 4096)
+    assert sum(len(p) for p in parts) == 4096
+    assert len(parts) == 3                    # no slot starved
+    assert len(parts[2]) == 10                # short slot fully kept
+    assert abs(len(parts[0]) - len(parts[1])) <= 1   # even split of the rest
+    # each slot keeps its NEWEST points
+    assert parts[0][-1] == 2999 and parts[0][0] == 3000 - len(parts[0])
+    # under budget: everything kept, empties dropped
+    parts = _cap_points_per_slot(
+        [np.arange(5), np.arange(0), np.arange(7)], 100)
+    assert [len(p) for p in parts] == [5, 7]
+
+
+def test_viz_server_incremental_poll_and_truncation(tmp_path):
+    """Polls are O(new data): a follow-up poll past the end reads nothing,
+    and a truncated/recreated producer file resets the line index instead
+    of serving stale offsets."""
+    path = str(tmp_path / "grow.jsonl")
+    line = lambda i: json.dumps({"frame": i, "cylinders": [],
+                                 "intersections": []}) + "\n"
+    with open(path, "w") as f:
+        f.write(line(1) + line(2) + line(3))
+    srv = VizStreamServer(path)
+    srv.start_background()
+    try:
+        got = json.loads(_get(srv.url + "stream?from=1"))
+        assert [g["frame"] for g in got] == [2, 3]
+        # recreated SHORTER file (new session overwrote the stream)
+        with open(path, "w") as f:
+            f.write(line(7))
+        got = json.loads(_get(srv.url + "stream?from=0"))
+        assert [g["frame"] for g in got] == [7]
+        assert json.loads(_get(srv.url + "stream?from=1")) == []
+    finally:
+        srv.shutdown()

@@ -36,7 +36,12 @@ def main():
     raw[:k] = frames[0].points[:k]
     a0 = (jnp.asarray(raw), jnp.asarray(frames[0].position, jnp.float32),
           jnp.asarray(frames[0].quat_wxyz, jnp.float32))
-    reps = 16
+    # reps=64: the syncing scalar readback costs a full relay round-trip
+    # (~25-50 ms) that divides by the rep count — at reps=16 it inflated
+    # every reading by ~1.6-3 ms (measurement trap #3, docs/PERF.md).  64
+    # keeps the floor under ~0.8 ms; the calibration floor is printed so a
+    # reading can be judged against it.
+    reps = 64
 
     @jax.jit
     def dev_loop(st, raw, pos, quat):
@@ -48,11 +53,15 @@ def main():
     st = dev_loop(init_world(cfg), *a0)
     _ = int(st.count)                       # compile + drain
     t0 = time.perf_counter()
+    _ = int(init_world(cfg).count)          # readback floor (one RTT)
+    floor_ms = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
     st = dev_loop(init_world(cfg), *a0)
     _ = int(st.count)                       # one scalar sync
     ms = (time.perf_counter() - t0) / reps * 1e3
     verdict = ("quiet" if ms < 10 else "noisy" if ms < 20 else "stormy")
-    print(f"device_ms_per_frame={ms:.2f} ({verdict}; quiet-chip ref ~6.5-7)")
+    print(f"device_ms_per_frame={ms:.2f} ({verdict}; quiet-chip ref ~6.5-7; "
+          f"readback floor {floor_ms / reps:.2f} ms/rep already included)")
 
 
 if __name__ == "__main__":
