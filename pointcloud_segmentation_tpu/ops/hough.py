@@ -84,8 +84,10 @@ def _masked_minmax(points, valid):
 
 
 def _line_distance2(pts, a, b_unit):
+    # mirrors geometry.point_line_distance's op sequence exactly
+    # (elementwise-product dot, NOT a matvec — reduction-order parity)
     d = pts - a
-    along = d @ b_unit
+    along = (d * b_unit[None, :]).sum(-1)
     perp = d - along[:, None] * b_unit[None, :]
     return (perp * perp).sum(-1)
 
@@ -196,27 +198,36 @@ def _vote_histogram(Xs, c1, c2, d, dx, num_x, active, num_x_static):
 _SUB_CHUNK = 512  # removed-point columns for the incremental-subtract matmul
 
 
-def _vote_histogram_delta(Xs, c1, c2, d, dx, num_x, removed, n_rem,
-                          sub_chunk, num_x_static):
-    """Histogram of the removed points, compacted to `sub_chunk` columns —
-    the incremental `Hough::subtract` contribution.
-
-    Compaction gathers the removed *points* into `sub_chunk` rows (exact
-    int32 scatter-built permutation) and re-bins just those rows with the
-    same f32 expression as `_vote_bins` — bit-identical bins at any
-    num_x.  (A bf16 value-compaction matmul here silently corrupts bins
-    >= 256, which valid configs reach — e.g. radius_sizes=(0.015,); and it
-    costs B*N*R MXU flops vs B*3*R for re-binning the gathered rows.)
-    """
+def _compact_removed(Xs, removed, n_rem, sub_chunk):
+    """Gather the removed points into `sub_chunk` rows (exact int32
+    scatter-built permutation; excluded rows -> sentinel column).  Returns
+    (Xr (R, 3), col_live (R,) bool).  The SINGLE source of the compaction:
+    the carry-mode subtract and the lazy-mode decrement must bin removed
+    points bit-identically, so both call this."""
     N = removed.shape[0]
     pos = jnp.cumsum(removed.astype(jnp.int32)) - 1
     pos = jnp.where(removed, pos, sub_chunk)             # excluded -> sentinel
     perm = jnp.zeros((sub_chunk + 1,), jnp.int32).at[pos].set(
         jnp.arange(N, dtype=jnp.int32))[:sub_chunk]
-    r_iota = jnp.arange(sub_chunk, dtype=jnp.int32)
-    Xr = jnp.take(Xs, perm, axis=0)                      # (R, 3)
+    col_live = jnp.arange(sub_chunk, dtype=jnp.int32) < n_rem
+    return jnp.take(Xs, perm, axis=0), col_live
+
+
+def _vote_histogram_delta(Xs, c1, c2, d, dx, num_x, removed, n_rem,
+                          sub_chunk, num_x_static):
+    """Histogram of the removed points, compacted to `sub_chunk` columns —
+    the incremental `Hough::subtract` contribution.
+
+    Compaction gathers the removed *points* into `sub_chunk` rows and
+    re-bins just those rows with the same f32 expression as `_vote_bins` —
+    bit-identical bins at any num_x.  (A bf16 value-compaction matmul here
+    silently corrupts bins >= 256, which valid configs reach — e.g.
+    radius_sizes=(0.015,); and it costs B*N*R MXU flops vs B*3*R for
+    re-binning the gathered rows.)
+    """
+    Xr, col_live = _compact_removed(Xs, removed, n_rem, sub_chunk)
     xt, yt = _vote_bins(Xr, c1, c2, d, dx, num_x)        # (B, R)
-    xt = jnp.where(r_iota[None, :] < n_rem, xt, num_x_static)  # empty columns
+    xt = jnp.where(col_live[None, :], xt, num_x_static)  # empty columns
     x_iota = jax.lax.broadcasted_iota(jnp.int32, (num_x_static, 1), 0)
     X1 = (xt[:, None, :] == x_iota[None, :, :]).astype(jnp.bfloat16)
     Y1 = (yt[:, :, None] == x_iota[None, :, :].transpose(0, 2, 1)
@@ -279,18 +290,13 @@ def _vote_state_tiles(Xs, c1, c2, d, dx, num_x, active, num_x_static):
 def _removed_cell_keys(Xs, c1, c2, d, dx, num_x, removed, n_rem, sub_chunk,
                        num_x_static):
     """(B, R) flat cell keys of the removed points (compacted to R columns;
-    empty columns get the out-of-range sentinel `cells`).  Shares the exact
-    compaction + f32 binning of `_vote_histogram_delta`."""
-    N = removed.shape[0]
-    pos = jnp.cumsum(removed.astype(jnp.int32)) - 1
-    pos = jnp.where(removed, pos, sub_chunk)
-    perm = jnp.zeros((sub_chunk + 1,), jnp.int32).at[pos].set(
-        jnp.arange(N, dtype=jnp.int32))[:sub_chunk]
-    r_iota = jnp.arange(sub_chunk, dtype=jnp.int32)
-    Xr = jnp.take(Xs, perm, axis=0)
+    empty columns get the out-of-range sentinel `cells`).  Uses the shared
+    `_compact_removed` + the same f32 `_vote_bins` binning as
+    `_vote_histogram_delta` — bit-identical by construction."""
+    Xr, col_live = _compact_removed(Xs, removed, n_rem, sub_chunk)
     xt, yt = _vote_bins(Xr, c1, c2, d, dx, num_x)
     keys = xt * num_x_static + yt
-    return jnp.where(r_iota[None, :] < n_rem, keys,
+    return jnp.where(col_live[None, :], keys,
                      num_x_static * num_x_static)
 
 
@@ -397,8 +403,10 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
 
     rs = jnp.asarray(cfg.radius_sizes, dt)
     rs_max = jnp.asarray(max(cfg.radius_sizes), dt)
-    min_nb_scale = jnp.asarray(
-        2.0 / (cfg.rad_2_leaf_ratio * (2 * cfg.diag_voxel) ** 2), dt)
+    # static python-float denominator, evaluated exactly like the oracle's
+    # (pipeline.py:371-372) — a pre-rounded 2/denom reciprocal reorders the
+    # fp ops and can flip the int32 truncation at integer boundaries
+    min_nb_denom = cfg.rad_2_leaf_ratio * (2 * cfg.diag_voxel) ** 2
 
     # ---- voting-state closures: "carry" keeps the exact (B, NX, NX)
     # accumulator (the reference's Hough add/subtract, h:228/241) with its
@@ -514,12 +522,13 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
 
         return jax.lax.switch(branch, [_keep, _subtract, _rebuild], vs)
 
+    # With opt_nlines > 0 every iteration either increments nlines or
+    # sets stop, so opt_nlines + 1 is itself a static bound — do not let
+    # shapes.max_iters silently truncate configs with opt_nlines > 24.
+    it_bound = (max(cfg.shapes.max_iters, cfg.opt_nlines + 1)
+                if cfg.opt_nlines > 0 else cfg.shapes.max_iters)
+
     def cond(s: _LoopState):
-        # With opt_nlines > 0 every iteration either increments nlines or
-        # sets stop, so opt_nlines + 1 is itself a static bound — do not let
-        # shapes.max_iters silently truncate configs with opt_nlines > 24.
-        it_bound = (max(cfg.shapes.max_iters, cfg.opt_nlines + 1)
-                    if cfg.opt_nlines > 0 else cfg.shapes.max_iters)
         c = (~s.stop) & (s.active.sum() > 1) & (s.it < it_bound)
         if cfg.opt_nlines > 0:
             c = c & (s.nlines < cfg.opt_nlines)
@@ -554,13 +563,17 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
         a0 = (xc * c1row + yc * c2row).astype(dt)
 
         # ---- refinement #1 (h:245-248) ----
-        m1 = s.active & (_line_distance2(Xs, a0, b0) <= dx * dx)
+        # sqrt'd distance compared to dx, the oracle's metric form
+        # (pipeline.py:265-267; numpy's **0.5 is bitwise sqrt) — the
+        # squared comparison `d2 <= dx*dx` flips membership within one ulp
+        # of the boundary in f64 parity mode
+        m1 = s.active & (jnp.sqrt(_line_distance2(Xs, a0, b0)) <= dx)
         ok0 = m1.any()
         rc1, a1, b1 = _masked_lsq(Xs, m1)
         ok1 = ok0 & (rc1 > 0.0)
 
         # ---- refinement #2 + vote gate (h:250-255) ----
-        m2 = s.active & (_line_distance2(Xs, a1, b1) <= dx * dx)
+        m2 = s.active & (jnp.sqrt(_line_distance2(Xs, a1, b1)) <= dx)
         nv = m2.sum().astype(jnp.int32)
         ok2 = ok1 & (nv >= cfg.opt_minvotes)
         rc2, a2, b2 = _masked_lsq(Xs, m2)
@@ -625,8 +638,13 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
 
         eig = _masked_cov_eigs(P2, m2)
         pca_coeff = eig[0] / jnp.maximum(eig.sum(), 1e-30)
-        seg_len = jnp.sqrt(jnp.maximum(((t_max - t_min) * bc) @ ((t_max - t_min) * bc), 0.0))
-        min_nb = (closest * seg_len * min_nb_scale).astype(jnp.int32)
+        # oracle form exactly (pipeline.py:368-372): endpoints first, THEN
+        # the difference — the algebraically equal |Δt·b| reordering
+        # diverges at fp decision boundaries in f64 parity mode
+        p1g = t_min * bc + a_w
+        p2g = t_max * bc + a_w
+        seg_len = jnp.sqrt(((p2g - p1g) ** 2).sum())
+        min_nb = (2.0 * closest * seg_len / min_nb_denom).astype(jnp.int32)
         accept = gate_r & (pca_coeff > cfg.min_pca_coeff) & (nv > min_nb)
 
         failx = ok3 & bx_zero
@@ -658,7 +676,15 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
         # set.  Every branch leaves the state exact for the next argmax.
         n_rem = nv
         active_next = s.active & ~m2
-        branch = jnp.where(proceed,
+        # Skip the update when THIS round is the last: `cond` is about to
+        # exit (nlines quota hit, iteration bound, or <= 1 active point)
+        # and the post-loop code never reads vstate — the final round's
+        # decrement + suspect exam (or worse, a spill rebuild) was pure
+        # discarded work, ~0.6 ms/frame of the g6 node loop.
+        ending = (s.it + 1 >= it_bound) | (active_next.sum() <= 1)
+        if cfg.opt_nlines > 0:
+            ending |= s.nlines + ok3.astype(jnp.int32) >= cfg.opt_nlines
+        branch = jnp.where(proceed & ~ending,
                            jnp.where(n_rem <= sub_chunk, 1, 2), 0)
         vstate_next = _vstate_update(s.vstate, branch, m2, n_rem, active_next)
 

@@ -73,7 +73,12 @@ def _padded_dir_tables(cfg: PipelineConfig, n_dir: int):
         dirs = np.concatenate([dirs, np.repeat(dirs[:1], pad, 0)], 0)
         c1 = np.concatenate([c1, np.repeat(c1[:1], pad, 0)], 0)
         c2 = np.concatenate([c2, np.repeat(c2[:1], pad, 0)], 0)
-    return (jnp.asarray(dirs, jnp.float32), jnp.asarray(c1, jnp.float32),
+    # dirs follow the pipeline compute dtype: truncating them to f32 here
+    # would survive extract_lines' astype(dt) round-trip and silently void
+    # the f64 parity contract on every sharded path (the oracle keeps its
+    # directions in f64).  Only the c1/c2 binning bases are f32 BY SPEC.
+    dt = jnp.dtype(cfg.compute_dtype)
+    return (jnp.asarray(dirs, dt), jnp.asarray(c1, jnp.float32),
             jnp.asarray(c2, jnp.float32))
 
 
@@ -145,7 +150,6 @@ def make_tp_process_frame(cfg: PipelineConfig, mesh: Mesh):
     for granularity 6, where a single chip spends ~80 ms on 20,481
     directions.  Signature matches pipeline.make_process_frame.
     """
-    from ..worldmap import world_step
     from ..pipeline import FrameOutput
 
     n_dir = mesh.shape["dir"]

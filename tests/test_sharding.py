@@ -150,7 +150,7 @@ def test_global_argmax_winner_no_int32_overflow():
     e.g. granularity 6 with min radius <= ~0.012 m)."""
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     from pointcloud_segmentation_tpu.ops.hough import _global_argmax_winner
@@ -176,3 +176,43 @@ def test_global_argmax_winner_no_int32_overflow():
     assert float(Mg) == 7.0
     assert int(bg) == 19000      # smallest direction among the tied shards
     assert int(cg) == 99000      # the cell of THAT shard, not a wrapped key
+
+
+def test_tp_process_frame_f64_parity_exact():
+    """The f64 parity contract extends to sharded paths: _padded_dir_tables
+    must keep direction vectors in the pipeline compute dtype (truncating
+    them to f32 survived extract_lines' astype round-trip and silently
+    voided f64 parity on every multichip path)."""
+    from pointcloud_segmentation_tpu.parallel.sharding import (
+        make_tp_process_frame, _padded_dir_tables)
+
+    cfg = default_config(
+        granularity=1, compute_dtype="float64",
+        shapes=StaticShapes(max_raw_points=1024, max_points=512,
+                            max_world_segments=16))
+    with jax.enable_x64(True):
+        dirs, _, _ = _padded_dir_tables(cfg, 8)
+        assert dirs.dtype == jnp.float64
+        mesh = make_mesh(n_batch=1, n_dir=8)
+        frames, clouds, poss, quats = make_frames(4, cfg)
+        step_tp = make_tp_process_frame(cfg, mesh)
+        st = init_world(cfg)
+        for i in range(4):
+            st, _ = step_tp(st, jnp.asarray(clouds[i], jnp.float64),
+                            jnp.asarray(poss[i], jnp.float64),
+                            jnp.asarray(quats[i], jnp.float64))
+        step1 = make_process_frame(cfg)
+        ref = init_world(cfg)
+        for i in range(4):
+            ref, _ = step1(ref, jnp.asarray(clouds[i], jnp.float64),
+                           jnp.asarray(poss[i], jnp.float64),
+                           jnp.asarray(quats[i], jnp.float64))
+    assert int(st.count) == int(ref.count)
+    n = int(ref.count)
+    assert n >= 1
+    # the sharded collectives are masked psums over disjoint shards —
+    # bit-exact vs the single-chip path, no tolerance needed
+    np.testing.assert_array_equal(np.asarray(st.a)[:n], np.asarray(ref.a)[:n])
+    np.testing.assert_array_equal(np.asarray(st.b)[:n], np.asarray(ref.b)[:n])
+    np.testing.assert_array_equal(np.asarray(st.radius)[:n],
+                                  np.asarray(ref.radius)[:n])
