@@ -37,13 +37,12 @@ from . import csvio
 logger = logging.getLogger("pointcloud_segmentation_tpu")
 
 
-def _cap_points_per_slot(arrs, cap):
-    """Waterfill a total point budget across per-segment arrays, keeping
-    each slot's NEWEST points.  Every non-empty slot gets an equal share;
-    shares a short slot can't use are redistributed to longer ones, so the
-    cap is met exactly whenever sum(len) >= cap and no slot is starved."""
-    lens = [len(a) for a in arrs]
-    quota = [0] * len(arrs)
+def _waterfill_quotas(lens, cap):
+    """Waterfill a total point budget across per-slot lengths, favoring no
+    slot.  Every non-empty slot gets an equal share; shares a short slot
+    can't use are redistributed to longer ones, so the cap is met exactly
+    whenever sum(lens) >= cap and no slot is starved."""
+    quota = [0] * len(lens)
     remaining = min(cap, sum(lens))
     active = [i for i, n in enumerate(lens) if n > 0]
     while remaining > 0 and active:
@@ -58,7 +57,31 @@ def _cap_points_per_slot(arrs, cap):
             if remaining <= 0:
                 break
         active = still
+    return quota
+
+
+def _cap_points_per_slot(arrs, cap):
+    """Waterfill `cap` across per-segment arrays, keeping each slot's
+    NEWEST points."""
+    quota = _waterfill_quotas([len(a) for a in arrs], cap)
     return [a[len(a) - q:] for a, q in zip(arrs, quota) if q]
+
+
+def _tail_points(chunks, q):
+    """Newest `q` points from a slot's chunk list (per-frame appended
+    arrays), touching only the tail chunks actually needed — the full
+    accumulated history is NEVER concatenated (it grows without bound
+    over a stream; copying it per viz frame would be quadratic)."""
+    out = []
+    need = q
+    for arr in reversed(chunks):
+        if need <= 0:
+            break
+        take = min(len(arr), need)
+        out.append(arr[len(arr) - take:])
+        need -= take
+    out.reverse()
+    return out[0] if len(out) == 1 else np.concatenate(out, axis=0)
 
 
 class SegmentationEngine:
@@ -118,6 +141,7 @@ class SegmentationEngine:
         self._viz_points = viz_points
         self._frame_points: Optional[dict] = None
         self._viz_file = None
+        self._viz_file_opened = False  # first open truncates, reopens append
         self._batched_step = None
         self._batched_size = 0
         self.stream_sync_every = stream_sync_every
@@ -285,7 +309,7 @@ class SegmentationEngine:
     def _emit_viz_frame(self, t: float, info: dict) -> None:
         """One per-frame visualization record — the node's every-frame
         marker re-publish (node.cpp:676-842) as a JSONL stream/callback."""
-        viz = self.visualization()
+        viz = self.visualization(include_points=False)
         rec = {
             "frame": self.frames_processed,
             "t": t,
@@ -319,15 +343,21 @@ class SegmentationEngine:
                 # once the total exceeds the cap, starving them in the
                 # viewer forever.
                 if self.backend == "jax":
-                    arrs = [np.concatenate(lst, axis=0)
-                            for lst in self._inlier_points.values() if lst]
+                    # quotas from lengths alone, then slice only the tail
+                    # chunks — never concatenate a slot's full history
+                    slot_lists = [lst for lst in self._inlier_points.values()
+                                  if lst]
+                    lens = [sum(len(a) for a in lst) for lst in slot_lists]
+                    quotas = _waterfill_quotas(lens, cap)
+                    parts = [_tail_points(lst, q)
+                             for lst, q in zip(slot_lists, quotas) if q]
                 else:
                     # the oracle's Segment.points ARE the accumulated
                     # world-frame inlier store (drone_to_world transforms
                     # them before fusion) — republish straight from it
                     arrs = [np.asarray(s.points)
                             for s in self._wm.segments if len(s.points)]
-                parts = _cap_points_per_slot(arrs, cap)
+                    parts = _cap_points_per_slot(arrs, cap)
                 acc = (np.concatenate(parts, axis=0) if parts
                        else np.zeros((0, 3)))
                 rec["hough_points"] = np.round(acc, 4).tolist()
@@ -342,7 +372,14 @@ class SegmentationEngine:
         if self._viz_file is None:
             parent = os.path.dirname(os.path.abspath(self._viz_stream))
             os.makedirs(parent, exist_ok=True)
-            self._viz_file = open(self._viz_stream, "w")
+            # truncate only on the FIRST open of this engine's lifetime: a
+            # restart after stop()+finalize() (which closes the file) must
+            # append, not erase the frames already streamed — records and
+            # CSVs are cumulative across restarts, the viz stream must be
+            # too (and a live follower would desync on truncation)
+            mode = "a" if self._viz_file_opened else "w"
+            self._viz_file = open(self._viz_stream, mode)
+            self._viz_file_opened = True
         self._viz_file.write(json.dumps(rec) + "\n")
         self._viz_file.flush()
 
@@ -424,10 +461,18 @@ class SegmentationEngine:
         valid = np.asarray(out.segments.valid)
         slots = np.asarray(out.slots)
         R = np.array(geometry.quat_to_rot(*np.asarray(quat, np.float64)))
+        # last-writer-wins per world slot: when two frame segments fuse
+        # into the same slot in one frame, the world map keeps only the
+        # later fusion (vs the frame-start state), so the earlier dseg's
+        # points never enter the reference's accumulated store
+        # (node.cpp:823-829; oracle new_world[j] overwrite) — collect only
+        # the winning dseg's points
+        winner: dict[int, int] = {}
         for i in np.nonzero(valid)[0]:
             slot = int(slots[i])
-            if slot < 0:
-                continue
+            if slot >= 0:
+                winner[slot] = int(i)
+        for slot, i in winner.items():
             pts = filtered[masks[i]] @ R.T + np.asarray(position)
             self._inlier_points.setdefault(slot, []).append(pts)
 
@@ -578,9 +623,19 @@ class SegmentationEngine:
             self.frames_processed += 1
         if counters:
             t0 = self._now()
+            # pad the handle list to a fixed quantum before stacking: every
+            # DISTINCT stack length is a separate multi-second remote
+            # compile through the relay (CLAUDE.md), so replaying logs of
+            # different lengths in one process would recompile per length;
+            # quantum padding bounds the distinct shapes to ceil(F/256)
+            # while keeping the single batched readback
+            nf = len(counters)
+            pad = (-nf) % 256
+            if pad:
+                counters = counters + [jnp.zeros((4,), jnp.int32)] * pad
             with self._state_lock, self._read_lock:
-                stacked = jnp.stack(counters)   # (F, 4) int32
-                vals = np.asarray(stacked)      # single device sync
+                stacked = jnp.stack(counters)   # (ceil(F/256)*256, 4) int32
+                vals = np.asarray(stacked)[:nf]  # single device sync
             sync_us = (self._now() - t0) * 1e6
             for rec, row in zip(out, vals):
                 rec["seg_vec_size"] = int(row[0])
@@ -1010,20 +1065,32 @@ class SegmentationEngine:
                     rows.append((i, float(t1), j, float(t2)))
         return rows
 
+    def _world_segments_oracle(self) -> List[dict]:
+        """Oracle-backend segment rows; caller holds _state_lock (the
+        oracle WorldMap mutates in place, so unlocked readers could see a
+        torn mid-frame state — same contract as the jax branch)."""
+        return [{"a": s.a, "b": s.b, "t_min": s.t_min, "t_max": s.t_max,
+                 "radius": s.radius, "points_size": s.points_size,
+                 "pca_coeff": s.pca_coeff}
+                for s in self._wm.segments]
+
     def world_segments(self) -> List[dict]:
         """Current world map as host dicts (segments.csv row source)."""
         if self.backend == "oracle":
-            return [{"a": s.a, "b": s.b, "t_min": s.t_min, "t_max": s.t_max,
-                     "radius": s.radius, "points_size": s.points_size,
-                     "pca_coeff": s.pca_coeff}
-                    for s in self._wm.segments]
+            with self._state_lock:
+                return self._world_segments_oracle()
         with self._state_lock, self._read_lock:
             return self._world_segments_locked()
 
     def intersections_rows(self) -> List[tuple]:
         """(seg1, t1, seg2, t2) rows, upper-triangular order (node.cpp:858)."""
         if self.backend == "oracle":
-            return self._wm.intersections_rows()
+            # the oracle writes inter[i, j] = (t1, t2) non-atomically
+            # (oracle/pipeline.py), so this read needs the same lock the
+            # oracle step holds — else a row can pair a new t1 with a
+            # stale t2
+            with self._state_lock:
+                return self._wm.intersections_rows()
         with self._state_lock, self._read_lock:
             return self._intersections_locked()
 
@@ -1035,14 +1102,18 @@ class SegmentationEngine:
         viz pollers)."""
         if self.backend == "oracle":
             with self._state_lock:
-                return self.world_segments(), self._wm.intersections_rows()
+                return (self._world_segments_oracle(),
+                        self._wm.intersections_rows())
         with self._state_lock, self._read_lock:
             return self._world_segments_locked(), self._intersections_locked()
 
-    def visualization(self) -> dict:
+    def visualization(self, include_points: bool = True) -> dict:
         """Marker-style structured viz (the RViz MarkerArray analog):
         cylinders per world segment, spheres per intersection, text labels
-        (node.cpp:676-842)."""
+        (node.cpp:676-842).  `include_points=False` skips the accumulated
+        inlier-point concatenation — the per-frame viz stream builds its
+        own capped point record, and the full store grows without bound
+        over a stream (copying it every frame would be quadratic)."""
         cylinders, texts, spheres = [], [], []
         segs, inter_rows = self.world_snapshot()
         for i, s in enumerate(segs):
@@ -1061,10 +1132,14 @@ class SegmentationEngine:
                             "text": f"Intersection: {i} & {j}"})
         out = {"cylinders": cylinders, "segment_texts": texts,
                "intersections": spheres}
-        if self.collect_inlier_points and self._inlier_points:
-            out["hough_points"] = {
-                k: np.concatenate(v, axis=0)
-                for k, v in self._inlier_points.items()}
+        if include_points and self.collect_inlier_points \
+                and self._inlier_points:
+            # snapshot under the lock: the streaming worker appends chunks
+            # under _state_lock (oracle AND jax paths)
+            with self._state_lock:
+                out["hough_points"] = {
+                    k: np.concatenate(v, axis=0)
+                    for k, v in self._inlier_points.items()}
         return out
 
     # ---------------------------------------------------------------- checkpoint
@@ -1082,6 +1157,7 @@ class SegmentationEngine:
         done = [r for r in self.records if r["seg_vec_size"] >= 0]
         payload = {
             "backend": np.array(self.backend),
+            "world_overflow_frames": np.array(self.world_overflow_frames),
             "frames_processed": np.array(self.frames_processed),
             "records_pending": np.array(len(self.records) - len(done)),
             "records": np.array(
@@ -1132,9 +1208,14 @@ class SegmentationEngine:
 
             from ..worldmap import WorldState
 
-            self._state = WorldState(**{
+            new_state = WorldState(**{
                 k: jnp.asarray(data[f"world_{k}"])
                 for k in WorldState._fields})
+            # the swap must hold _state_lock: a streaming worker mid-step
+            # reassigns self._state under it, and an unsynchronized store
+            # here would silently lose either the load or the fused frame
+            with self._state_lock:
+                self._state = new_state
         else:
             from ..oracle import Segment
 
@@ -1151,8 +1232,17 @@ class SegmentationEngine:
                     points_size=int(data["seg_points_size"][i]),
                     pca_coeff=float(data["seg_pca_coeff"][i]),
                     pca_eigenvalues=data["seg_pca_eigenvalues"][i]))
-            self._wm.segments = segs
-            self._wm.inter = data["inter"]
+            with self._state_lock:
+                self._wm.segments = segs
+                self._wm.inter = data["inter"]
+        # re-anchor the checkpoint cadence and D-CAP counter to the
+        # restored frame count: a resumed engine must neither re-save the
+        # checkpoint it just loaded nor skip the next cadence boundary
+        self._last_checkpoint_k = (
+            self.frames_processed // self.checkpoint_every
+            if self.checkpoint_every else 0)
+        self.world_overflow_frames = int(data["world_overflow_frames"]) \
+            if "world_overflow_frames" in data else 0
 
     def finalize(self, outdir: Optional[str] = None) -> dict:
         """Write the three reference CSVs (the node-destructor flush).

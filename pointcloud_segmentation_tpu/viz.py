@@ -142,7 +142,12 @@ class VizStreamServer:
     """LIVE viewing of a growing viz-stream JSONL — the missing half of the
     RViz loop (the reference is watched live while the node maps,
     node.cpp:676-842 + rviz/drone_pc.rviz).  A tiny HTTP server pairs the
-    HTML player with a ``/stream?from=N`` endpoint that tails the JSONL; the
+    HTML player with a ``/stream?from=N&gen=G`` endpoint that tails the
+    JSONL.  Responses are ``{"gen", "next", "frames"}``: ``next`` is the
+    server-side line cursor the client echoes back (so torn/unparseable
+    lines are never re-served), and a ``gen`` bump tells a follower the
+    producer file was truncated/recreated — it resyncs from line 0
+    instead of silently mixing two runs.  The
     player polls it and follows the newest frame, so a concurrent
     ``pcs-tpu run/stream/serve --viz-stream f.jsonl`` session can be watched
     as it maps: ``pcs-tpu viz f.jsonl --follow``.
@@ -174,26 +179,38 @@ class VizStreamServer:
         # (multi-GB after an hour at 30 Hz); each poll is now O(new data)
         # and the common follow-up poll (start == nlines) touches nothing.
         cache_lock = _threading.Lock()
-        cache = {"seen": 0, "offsets": [0], "nlines": 0}
+        # gen increments whenever the file is detected truncated/recreated;
+        # it is the follower's resync token (see read_frames)
+        cache = {"seen": 0, "offsets": [0], "nlines": 0, "gen": 0}
+
+        def _reset_index():
+            cache.update(seen=0, offsets=[0], nlines=0, gen=cache["gen"] + 1)
 
         def _index_new_lines():
             try:
                 size = _os.stat(path).st_size
             except OSError:
                 return
+            if size < cache["seen"]:        # truncated/recreated producer
+                _reset_index()
             tail = cache["offsets"][cache["nlines"]]
-            if size < tail:                 # truncated/recreated producer
-                cache.update(seen=0, offsets=[0], nlines=0)
-                tail = 0
             if size <= cache["seen"]:
                 return
             try:
                 with open(path, "rb") as f:
-                    f.seek(tail)
+                    if tail > 0:
+                        # a rewrite that already outgrew the old size
+                        # defeats the shrink check above; verify the last
+                        # indexed line boundary is still a newline
+                        f.seek(tail - 1)
+                        if f.read(1) != b"\n":
+                            _reset_index()
+                            tail = 0
+                            f.seek(0)
                     data = f.read()
             except OSError:
                 return
-            cache["seen"] = size
+            cache["seen"] = tail + len(data)
             idx = 0
             while True:
                 nl = data.find(b"\n", idx)
@@ -203,40 +220,55 @@ class VizStreamServer:
                 cache["offsets"].append(tail + nl + 1)
                 idx = nl + 1
 
-        def read_frames(start: int):
+        def read_frames(start: int, client_gen=None):
+            """Tail protocol: returns {"gen", "next", "frames"}.  `next` is
+            the SERVER's line count after the returned frames — the client
+            passes it back verbatim, so unparseable (torn) lines are never
+            re-served as duplicates.  A `gen` mismatch (producer restarted
+            with a truncated file) restarts the client from line 0."""
             start = max(int(start), 0)
             with cache_lock:
                 _index_new_lines()
-                if start >= cache["nlines"]:
-                    return []
+                gen = cache["gen"]
+                if client_gen is not None and client_gen != gen:
+                    start = 0               # stale follower: full resync
+                nlines = cache["nlines"]
+                start = min(start, nlines)
                 off0 = cache["offsets"][start]
-                end = cache["offsets"][cache["nlines"]]
-            try:
-                with open(path, "rb") as f:
-                    f.seek(off0)
-                    data = f.read(end - off0)
-            except OSError:
-                return []
+                end = cache["offsets"][nlines]
             out = []
-            for line in data.split(b"\n"):
-                if line.strip():
-                    try:
-                        out.append(_json.loads(line))
-                    except ValueError:
-                        pass                # torn mid-write; next poll
-            return out
+            if end > off0:
+                try:
+                    with open(path, "rb") as f:
+                        f.seek(off0)
+                        data = f.read(end - off0)
+                except OSError:
+                    return {"gen": gen, "next": start, "frames": []}
+                for line in data.split(b"\n"):
+                    if line.strip():
+                        try:
+                            out.append(_json.loads(line))
+                        except ValueError:
+                            pass            # torn mid-write; next poll
+            return {"gen": gen, "next": nlines, "frames": out}
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802 (stdlib API name)
                 if self.path.startswith("/stream"):
-                    start = 0
+                    start, client_gen = 0, None
                     if "from=" in self.path:
                         try:
                             start = int(self.path.split("from=")[1]
                                         .split("&")[0])
                         except ValueError:
                             pass
-                    body = _json.dumps(read_frames(start)).encode()
+                    if "gen=" in self.path:
+                        try:
+                            client_gen = int(self.path.split("gen=")[1]
+                                             .split("&")[0])
+                        except ValueError:
+                            pass
+                    body = _json.dumps(read_frames(start, client_gen)).encode()
                     ctype = "application/json"
                 elif self.path in ("/", "/index.html"):
                     body, ctype = page, "text/html"
@@ -370,6 +402,7 @@ __LIVE__
 # latest one (dragging the slider pauses following; the ⏭ button resumes).
 _VIZ_LIVE_SNIPPET = """
 let follow = true;
+let nextFrom = 0, gen = null;
 const fbtn = document.createElement('button');
 fbtn.innerHTML = '&#9197;'; fbtn.title = 'follow live';
 document.getElementById('bar').appendChild(fbtn);
@@ -377,10 +410,15 @@ fbtn.onclick = () => { follow = true; if (FRAMES.length){ cur = FRAMES.length - 
 slider.addEventListener('input', () => follow = false);
 async function poll(){
   try {
-    const r = await fetch('/stream?from=' + FRAMES.length);
-    const nf = await r.json();
-    if (nf.length){
-      FRAMES.push(...nf);
+    const r = await fetch('/stream?from=' + nextFrom + (gen === null ? '' : '&gen=' + gen));
+    const resp = await r.json();
+    if (gen !== null && resp.gen !== gen){
+      // producer restarted with a truncated file: resync from scratch
+      FRAMES.length = 0; cur = 0;
+    }
+    gen = resp.gen; nextFrom = resp.next;
+    if (resp.frames.length){
+      FRAMES.push(...resp.frames);
       slider.max = Math.max(FRAMES.length - 1, 0);
       if (follow) cur = FRAMES.length - 1;
       draw();

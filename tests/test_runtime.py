@@ -487,6 +487,11 @@ def test_engine_deferred_overfeed_bounded_inflight(replay_frames):
     forces the queue toward the cap while frames are force-fed."""
     eng = SegmentationEngine(CFG, backend="jax", stream_sync_every=2)
     assert eng._stream_deferred
+    # warm the step's jit cache BEFORE the timed overfeed window: a cold
+    # compile eats the whole window (the worker processes ~1 frame, no
+    # batch ever queues, and the pile-up assertion below is vacuous —
+    # this test only passed after other tests had compiled the step)
+    eng.run_replay(replay_frames[:1])
     seen = {"max_q": 0}
     orig = eng._backfill_batch
 
@@ -603,3 +608,77 @@ def test_checkpoint_skips_sentinel_records(tmp_path):
     assert [r["seg_vec_size"] for r in eng2.records] == [3]
     assert eng2.frames_processed == 2        # world state is device truth
     assert int(np.load(ckpt)["records_pending"]) == 1
+
+
+def test_engine_viz_stream_appends_across_restarts(replay_frames, tmp_path):
+    """stop()+finalize() closes the viz JSONL; a later run on the SAME
+    engine must APPEND, not truncate — records and CSVs are cumulative
+    across restarts, and truncation would erase run 1's frames (and
+    desync any live follower).  A fresh engine on the same path still
+    truncates (new session, new stream)."""
+    import json as _json
+
+    path = str(tmp_path / "viz.jsonl")
+    eng = SegmentationEngine(CFG, backend="jax", viz_stream=path)
+    eng.run_replay(replay_frames[:2])
+    eng.finalize(str(tmp_path))              # closes the viz file
+    eng.run_replay(replay_frames[2:4])       # second session, same engine
+    eng.finalize(str(tmp_path))
+    with open(path) as f:
+        recs = [_json.loads(line) for line in f]
+    assert [r["frame"] for r in recs] == [1, 2, 3, 4]
+    # a NEW engine starts its own stream: first open truncates
+    eng2 = SegmentationEngine(CFG, backend="jax", viz_stream=path)
+    eng2.run_replay(replay_frames[:1])
+    with open(path) as f:
+        recs = [_json.loads(line) for line in f]
+    assert [r["frame"] for r in recs] == [1]
+
+
+def test_load_checkpoint_reanchors_cadence_and_dcap(tmp_path):
+    """A resumed engine must neither immediately re-save the checkpoint it
+    just loaded nor skip the next cadence boundary; the cumulative D-CAP
+    counter rides the checkpoint."""
+    ckpt = str(tmp_path / "ck.npz")
+    eng = SegmentationEngine(CFG, backend="jax")
+    eng.frames_processed = 7
+    eng.world_overflow_frames = 3
+    eng.save_checkpoint(ckpt)
+    eng2 = SegmentationEngine(CFG, backend="jax",
+                              checkpoint_every=2, checkpoint_path=ckpt)
+    eng2.load_checkpoint(ckpt)
+    assert eng2._last_checkpoint_k == 3      # 7 // 2
+    assert eng2.world_overflow_frames == 3
+
+
+def test_tail_points_matches_full_concat():
+    """_tail_points(chunks, q) == full-history concat's newest q rows,
+    without ever materializing the full history."""
+    from pointcloud_segmentation_tpu.runtime.engine import _tail_points
+
+    chunks = [np.arange(5), np.arange(5, 8), np.arange(8, 20)]
+    full = np.concatenate(chunks)
+    for q in (1, 3, 12, 15, 20):
+        np.testing.assert_array_equal(_tail_points(chunks, q), full[-q:])
+
+
+def test_collect_inlier_points_last_writer_wins():
+    """Two frame segments fusing into the SAME world slot in one frame:
+    the world map keeps only the later fusion (oracle new_world[j]
+    overwrite, node.cpp:823-829 republish), so only the winning dseg's
+    points may enter the accumulated hough_points store."""
+    from types import SimpleNamespace
+
+    eng = SegmentationEngine(CFG, backend="jax", collect_inlier_points=True)
+    filtered = np.arange(12, dtype=np.float64).reshape(4, 3)
+    masks = np.array([[True, True, False, False],
+                      [False, False, True, True]])
+    out = SimpleNamespace(
+        filtered=filtered,
+        segments=SimpleNamespace(point_mask=masks,
+                                 valid=np.array([True, True])),
+        slots=np.array([5, 5]))
+    eng._collect_points_jax(out, np.zeros(3), np.array([1.0, 0, 0, 0]))
+    assert list(eng._inlier_points) == [5]
+    assert len(eng._inlier_points[5]) == 1
+    np.testing.assert_allclose(eng._inlier_points[5][0], filtered[2:4])

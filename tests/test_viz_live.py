@@ -34,6 +34,13 @@ def _get(url):
         return r.read()
 
 
+def _stream(base, frm, gen=None):
+    url = base + f"stream?from={frm}"
+    if gen is not None:
+        url += f"&gen={gen}"
+    return json.loads(_get(url))
+
+
 def test_viz_server_follows_growing_stream(tmp_path):
     """One full refresh cycle: player served, initial frames fetched, the
     producer appends a frame, the incremental poll returns ONLY the new
@@ -51,15 +58,17 @@ def test_viz_server_follows_growing_stream(tmp_path):
     try:
         page = _get(srv.url).decode()
         assert "FRAMES" in page and "/stream?from=" in page  # live player
-        got = json.loads(_get(srv.url + "stream?from=0"))
-        assert [g["frame"] for g in got] == [1, 2]
+        resp = _stream(srv.url, 0)
+        assert [g["frame"] for g in resp["frames"]] == [1, 2]
+        assert resp["next"] == 2
         # producer appends while the server is live (one refresh cycle)
         with open(path, "a") as f:
             f.write(json.dumps(recs[2]) + "\n")
-        new = json.loads(_get(srv.url + "stream?from=2"))
-        assert [g["frame"] for g in new] == [3]
+        new = _stream(srv.url, resp["next"], resp["gen"])
+        assert [g["frame"] for g in new["frames"]] == [3]
+        assert new["next"] == 3 and new["gen"] == resp["gen"]
         # an incremental poll past the end returns nothing
-        assert json.loads(_get(srv.url + "stream?from=3")) == []
+        assert _stream(srv.url, new["next"], new["gen"])["frames"] == []
     finally:
         srv.shutdown()
 
@@ -69,14 +78,26 @@ def test_viz_server_tolerates_missing_and_torn_file(tmp_path):
     srv = VizStreamServer(path)
     srv.start_background()
     try:
-        assert json.loads(_get(srv.url + "stream?from=0")) == []
+        assert _stream(srv.url, 0)["frames"] == []
         # torn tail line (producer mid-write) is skipped, not fatal
         with open(path, "w") as f:
             f.write(json.dumps({"frame": 1, "cylinders": [],
                                 "intersections": []}) + "\n")
             f.write('{"frame": 2, "cyl')
-        got = json.loads(_get(srv.url + "stream?from=0"))
-        assert [g["frame"] for g in got] == [1]
+        resp = _stream(srv.url, 0)
+        assert [g["frame"] for g in resp["frames"]] == [1]
+        assert resp["next"] == 1          # the torn line is NOT consumed
+        # an unparseable but newline-TERMINATED line is consumed (counted
+        # in `next`) yet not served — the follower must not re-request it
+        # forever (that duplicated every later frame under the old
+        # client-count protocol)
+        with open(path, "a") as f:
+            f.write("NOT JSON }}\n")
+            f.write(json.dumps({"frame": 3, "cylinders": [],
+                                "intersections": []}) + "\n")
+        resp = _stream(srv.url, resp["next"], resp["gen"])
+        assert [g["frame"] for g in resp["frames"]] == [3]
+        assert resp["next"] == 3
     finally:
         srv.shutdown()
 
@@ -107,7 +128,7 @@ def test_serve_session_watched_live(tmp_path):
             while eng.frames_processed < want and time.time() < deadline:
                 time.sleep(0.02)
         # the watcher sees the session's frames while it is still live
-        got = json.loads(_get(watcher.url + "stream?from=0"))
+        got = _stream(watcher.url, 0)["frames"]
         assert [g["frame"] for g in got] == [1, 2]
         assert got[-1]["world_count"] >= got[0]["world_count"]
         cli.finalize()
@@ -171,13 +192,27 @@ def test_viz_server_incremental_poll_and_truncation(tmp_path):
     srv = VizStreamServer(path)
     srv.start_background()
     try:
-        got = json.loads(_get(srv.url + "stream?from=1"))
-        assert [g["frame"] for g in got] == [2, 3]
-        # recreated SHORTER file (new session overwrote the stream)
+        r0 = _stream(srv.url, 1)
+        assert [g["frame"] for g in r0["frames"]] == [2, 3]
+        # recreated SHORTER file (new session overwrote the stream): the
+        # server bumps `gen`; a follower presenting the stale gen gets a
+        # full resync from line 0 regardless of its `from`
         with open(path, "w") as f:
             f.write(line(7))
-        got = json.loads(_get(srv.url + "stream?from=0"))
-        assert [g["frame"] for g in got] == [7]
-        assert json.loads(_get(srv.url + "stream?from=1")) == []
+        r1 = _stream(srv.url, r0["next"], r0["gen"])
+        assert r1["gen"] == r0["gen"] + 1
+        assert [g["frame"] for g in r1["frames"]] == [7]
+        assert r1["next"] == 1
+        assert _stream(srv.url, 1, r1["gen"])["frames"] == []
+        # recreated file that already OUTGREW the old size between polls
+        # (shrink check alone cannot see this): the boundary-byte check
+        # resets the index — no stale offsets, no mixed runs
+        with open(path, "w") as f:
+            f.write('{"frame": 8, "cylinders": [], "intersections": [], '
+                    '"pad": "' + "x" * 200 + '"}\n')
+            f.write(line(9))
+        r2 = _stream(srv.url, r1["next"], r1["gen"])
+        assert r2["gen"] == r1["gen"] + 1
+        assert [g["frame"] for g in r2["frames"]] == [8, 9]
     finally:
         srv.shutdown()
