@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import PipelineConfig
+from ..geometry import canonicalize_direction
 from ..sphere import hough_space
 from .eigh3 import principal_eigenvector3, eigvalsh3
 
@@ -124,12 +125,12 @@ def _masked_cov_eigs(pts, mask):
 
 
 def _canonical_sign(b):
-    """Flip so the first nonzero component is positive (D-SIGN)."""
-    sx = jnp.where(b[0] > 0, 1.0, jnp.where(b[0] < 0, -1.0, 0.0))
-    sy = jnp.where(b[1] > 0, 1.0, jnp.where(b[1] < 0, -1.0, 0.0))
-    sz = jnp.where(b[2] > 0, 1.0, jnp.where(b[2] < 0, -1.0, 0.0))
-    s = jnp.where(sx != 0, sx, jnp.where(sy != 0, sy, jnp.where(sz != 0, sz, 1.0)))
-    return b * s
+    """Flip so the first nonzero component is positive (D-SIGN).  Delegates
+    to geometry.canonicalize_direction — the ONE definition of the sign
+    convention both the oracle and this path must share (two hand-synced
+    copies could silently desynchronize the cross-implementation
+    invariant)."""
+    return canonicalize_direction(b)
 
 
 def _vote_bins(Xs, c1, c2, d, dx, num_x):
@@ -150,6 +151,24 @@ def _vote_bins(Xs, c1, c2, d, dx, num_x):
     xi = jnp.clip(jnp.floor((xp + half) / dx).astype(jnp.int32), 0, num_x - 1)
     yi = jnp.clip(jnp.floor((yp + half) / dx).astype(jnp.int32), 0, num_x - 1)
     return xi, yi
+
+
+def _onehot_histogram(xt, yt, num_x_static):
+    """(B, NX, NX) exact counts from (B, N) int32 bin indices: bf16 one-hot
+    rows/columns contracted on the MXU with f32 accumulation (0/1 values
+    and counts < 2^24 are exact).  An out-of-range xt (the `num_x_static`
+    sentinel) yields an all-zero one-hot row — callers fold inactive/empty
+    masks into xt before calling.  The add path (_vote_histogram), the
+    subtract path (_vote_histogram_delta) and the lazy init
+    (_vote_state_tiles) MUST bin bit-identically; this is the single
+    definition of the one-hot -> matmul recipe all three share."""
+    num_x_static = int(num_x_static)
+    x_iota = jax.lax.broadcasted_iota(jnp.int32, (num_x_static, 1), 0)
+    X1 = (xt[:, None, :] == x_iota[None, :, :]).astype(jnp.bfloat16)
+    Y1 = (yt[:, :, None] == x_iota[None, :, :].transpose(0, 2, 1)
+          ).astype(jnp.bfloat16)
+    return jnp.einsum("bxn,bny->bxy", X1, Y1,
+                      preferred_element_type=jnp.float32)
 
 
 _VOTE_TILE = 128  # directions per histogram tile (bounds the one-hot transient)
@@ -173,7 +192,6 @@ def _vote_histogram(Xs, c1, c2, d, dx, num_x, active, num_x_static):
     """
     B = c1.shape[0]
     N = Xs.shape[0]
-    x_iota = jax.lax.broadcasted_iota(jnp.int32, (num_x_static, 1), 0)
 
     def tile_votes(args):
         c1t, c2t = args
@@ -181,11 +199,7 @@ def _vote_histogram(Xs, c1, c2, d, dx, num_x, active, num_x_static):
         # fold the active mask into the x bin: inactive -> out-of-range
         # sentinel, whose one-hot row is all-zero
         xt = jnp.where(active[None, :], xt, num_x_static)
-        X1 = (xt[:, None, :] == x_iota[None, :, :]).astype(jnp.bfloat16)
-        Y1 = (yt[:, :, None] == x_iota[None, :, :].transpose(0, 2, 1)
-              ).astype(jnp.bfloat16)
-        return jnp.einsum("bxn,bny->bxy", X1, Y1,
-                          preferred_element_type=jnp.float32)
+        return _onehot_histogram(xt, yt, num_x_static)
 
     if B <= _VOTE_TILE:
         return tile_votes((c1, c2))
@@ -228,12 +242,7 @@ def _vote_histogram_delta(Xs, c1, c2, d, dx, num_x, removed, n_rem,
     Xr, col_live = _compact_removed(Xs, removed, n_rem, sub_chunk)
     xt, yt = _vote_bins(Xr, c1, c2, d, dx, num_x)        # (B, R)
     xt = jnp.where(col_live[None, :], xt, num_x_static)  # empty columns
-    x_iota = jax.lax.broadcasted_iota(jnp.int32, (num_x_static, 1), 0)
-    X1 = (xt[:, None, :] == x_iota[None, :, :]).astype(jnp.bfloat16)
-    Y1 = (yt[:, :, None] == x_iota[None, :, :].transpose(0, 2, 1)
-          ).astype(jnp.bfloat16)
-    return jnp.einsum("bxn,bny->bxy", X1, Y1,
-                      preferred_element_type=jnp.float32)
+    return _onehot_histogram(xt, yt, num_x_static)
 
 
 def _pad_dirs_to_tile(dirs, c1, c2):
@@ -260,18 +269,13 @@ def _vote_state_tiles(Xs, c1, c2, d, dx, num_x, active, num_x_static):
     h:241/h:339).  c1/c2 row count must be a _VOTE_TILE multiple.
     """
     cells = num_x_static * num_x_static
-    x_iota = jax.lax.broadcasted_iota(jnp.int32, (num_x_static, 1), 0)
     cell_iota = jax.lax.broadcasted_iota(jnp.int32, (1, cells), 1)
 
     def tile_state(args):
         c1t, c2t = args
         xt, yt = _vote_bins(Xs, c1t, c2t, d, dx, num_x)
         xt = jnp.where(active[None, :], xt, num_x_static)
-        X1 = (xt[:, None, :] == x_iota[None, :, :]).astype(jnp.bfloat16)
-        Y1 = (yt[:, :, None] == x_iota[None, :, :].transpose(0, 2, 1)
-              ).astype(jnp.bfloat16)
-        v = jnp.einsum("bxn,bny->bxy", X1, Y1,
-                       preferred_element_type=jnp.float32)
+        v = _onehot_histogram(xt, yt, num_x_static)
         vf = v.reshape(v.shape[0], cells)
         best = vf.max(axis=1)
         key = jnp.argmax(vf == best[:, None], axis=1).astype(jnp.int32)
@@ -566,14 +570,20 @@ def extract_lines(points: jnp.ndarray, valid: jnp.ndarray,
         # sqrt'd distance compared to dx, the oracle's metric form
         # (pipeline.py:265-267; numpy's **0.5 is bitwise sqrt) — the
         # squared comparison `d2 <= dx*dx` flips membership within one ulp
-        # of the boundary in f64 parity mode
-        m1 = s.active & (jnp.sqrt(_line_distance2(Xs, a0, b0)) <= dx)
+        # of the boundary in f64 parity mode.  The direction is
+        # RENORMALIZED first exactly like the oracle's
+        # points_close_to_line (bu = b / ||b||): a handful of table rows
+        # (4/1281 at granularity 4) have b/||b|| bitwise-different from b,
+        # so using the raw row can flip boundary membership in f64
+        b0u = b0 / jnp.sqrt((b0 * b0).sum())
+        m1 = s.active & (jnp.sqrt(_line_distance2(Xs, a0, b0u)) <= dx)
         ok0 = m1.any()
         rc1, a1, b1 = _masked_lsq(Xs, m1)
         ok1 = ok0 & (rc1 > 0.0)
 
         # ---- refinement #2 + vote gate (h:250-255) ----
-        m2 = s.active & (jnp.sqrt(_line_distance2(Xs, a1, b1)) <= dx)
+        b1u = b1 / jnp.sqrt((b1 * b1).sum())
+        m2 = s.active & (jnp.sqrt(_line_distance2(Xs, a1, b1u)) <= dx)
         nv = m2.sum().astype(jnp.int32)
         ok2 = ok1 & (nv >= cfg.opt_minvotes)
         rc2, a2, b2 = _masked_lsq(Xs, m2)

@@ -23,6 +23,7 @@ Everything rides jax.sharding + shard_map; XLA inserts the ICI collectives.
 from __future__ import annotations
 
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -35,7 +36,8 @@ from ..config import PipelineConfig
 from ..sphere import hough_space
 from ..ops.preproc import preprocess
 from ..ops.hough import extract_lines, SegmentBatch
-from ..pipeline import transform_segments, height_cutoff
+from ..pipeline import (transform_segments, height_cutoff,
+                        surface_offset_correction, compute_dtype)
 from ..worldmap import world_step
 
 
@@ -43,6 +45,8 @@ def make_mesh(n_batch: Optional[int] = None, n_dir: int = 1,
               devices=None) -> Mesh:
     """A ('batch', 'dir') mesh over the available devices."""
     devices = devices if devices is not None else jax.devices()
+    if n_dir < 1:
+        raise ValueError(f"make_mesh: n_dir must be >= 1, got {n_dir}")
     if n_batch is None:
         n_batch = len(devices) // n_dir
     need = n_batch * n_dir
@@ -86,10 +90,18 @@ def _frame_fn(cfg: PipelineConfig, dir_axis: Optional[str]):
     """Per-frame: preproc -> extract -> world transform -> floor cutoff."""
 
     def fn(raw, pos, quat, dirs, c1, c2):
+        # mirror pipeline.process_frame exactly: cast to the pipeline
+        # compute dtype (an f32 input cloud must not silently downgrade an
+        # f64 parity run) and apply the opt-in E-OFFSET between extraction
+        # and the world transform
+        raw = raw.astype(compute_dtype(cfg))
         filtered, fvalid, _ = preprocess(raw, cfg)
         res = extract_lines(filtered, fvalid, cfg,
                             dir_tables=(dirs, c1, c2), dir_axis=dir_axis)
-        segs = transform_segments(res.segments, pos, quat)
+        fsegs = res.segments
+        if cfg.surface_offset_correction:
+            fsegs = surface_offset_correction(fsegs)
+        segs = transform_segments(fsegs, pos, quat)
         segs = height_cutoff(segs, cfg.floor_trim_height)
         return segs, res.nlines, res.status
 
@@ -135,7 +147,10 @@ def make_multichip_step(cfg: PipelineConfig, mesh: Mesh):
         out_specs=(P(), P(), P()),
         check_vma=False)
 
-    @jax.jit
+    # donate the world state like make_process_frame does: the replicated
+    # map updates in place instead of allocating a fresh per-device copy
+    # every step
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state, clouds, poss, quats):
         return smapped(state, clouds, poss, quats, dirs, c1, c2)
 
@@ -157,10 +172,16 @@ def make_tp_process_frame(cfg: PipelineConfig, mesh: Mesh):
     dir_axis = "dir" if n_dir > 1 else None
 
     def body(state, raw, pos, quat, dirs, c1, c2):
+        # mirror pipeline.process_frame exactly (dtype cast + E-OFFSET);
+        # see _frame_fn
+        raw = raw.astype(compute_dtype(cfg))
         filtered, fvalid, fcount = preprocess(raw, cfg)
         res = extract_lines(filtered, fvalid, cfg,
                             dir_tables=(dirs, c1, c2), dir_axis=dir_axis)
-        segs = transform_segments(res.segments, pos, quat)
+        fsegs = res.segments
+        if cfg.surface_offset_correction:
+            fsegs = surface_offset_correction(fsegs)
+        segs = transform_segments(fsegs, pos, quat)
         segs = height_cutoff(segs, cfg.floor_trim_height)
         state, slots = world_step(state, segs, cfg)
         overflow = (segs.valid & (slots == -1)).sum().astype(jnp.int32)
@@ -176,7 +197,7 @@ def make_tp_process_frame(cfg: PipelineConfig, mesh: Mesh):
         out_specs=(P(), P()),
         check_vma=False)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state, raw, pos, quat):
         return smapped(state, raw, pos, quat, dirs, c1, c2)
 

@@ -197,14 +197,18 @@ def test_tp_process_frame_f64_parity_exact():
         frames, clouds, poss, quats = make_frames(4, cfg)
         step_tp = make_tp_process_frame(cfg, mesh)
         st = init_world(cfg)
+        # clouds are fed as FLOAT32 on purpose: the sharded step must cast
+        # to the pipeline compute dtype itself, exactly like
+        # pipeline.process_frame — an uncast f32 cloud silently downgraded
+        # the whole sharded run to f32 while claiming f64 parity
         for i in range(4):
-            st, _ = step_tp(st, jnp.asarray(clouds[i], jnp.float64),
+            st, _ = step_tp(st, jnp.asarray(clouds[i], jnp.float32),
                             jnp.asarray(poss[i], jnp.float64),
                             jnp.asarray(quats[i], jnp.float64))
         step1 = make_process_frame(cfg)
         ref = init_world(cfg)
         for i in range(4):
-            ref, _ = step1(ref, jnp.asarray(clouds[i], jnp.float64),
+            ref, _ = step1(ref, jnp.asarray(clouds[i], jnp.float32),
                            jnp.asarray(poss[i], jnp.float64),
                            jnp.asarray(quats[i], jnp.float64))
     assert int(st.count) == int(ref.count)
@@ -216,3 +220,33 @@ def test_tp_process_frame_f64_parity_exact():
     np.testing.assert_array_equal(np.asarray(st.b)[:n], np.asarray(ref.b)[:n])
     np.testing.assert_array_equal(np.asarray(st.radius)[:n],
                                   np.asarray(ref.radius)[:n])
+
+
+def test_make_mesh_rejects_nonpositive_dir():
+    with pytest.raises(ValueError, match="n_dir"):
+        make_mesh(n_dir=0)
+
+
+def test_sharded_paths_apply_surface_offset_correction():
+    """cfg.surface_offset_correction (E-OFFSET) must not be silently
+    ignored on the sharded paths — they mirror pipeline.process_frame,
+    which applies it between extraction and the world transform."""
+    cfg = CFG.replace(surface_offset_correction=True)
+    frames, clouds, poss, quats = make_frames(4)
+    mesh = make_mesh(n_batch=4, n_dir=1)
+    step = make_multichip_step(cfg, mesh)
+    st = init_world(cfg)
+    st, _, _ = step(st, jnp.asarray(clouds), jnp.asarray(poss),
+                    jnp.asarray(quats))
+    step1 = make_process_frame(cfg)
+    ref = init_world(cfg)
+    for i in range(4):
+        ref, _ = step1(ref, jnp.asarray(clouds[i]), jnp.asarray(poss[i]),
+                       jnp.asarray(quats[i]))
+    assert int(st.count) == int(ref.count)
+    n = int(ref.count)
+    assert n >= 1
+    np.testing.assert_allclose(np.asarray(st.a)[:n], np.asarray(ref.a)[:n],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.radius)[:n],
+                               np.asarray(ref.radius)[:n], atol=1e-5)
