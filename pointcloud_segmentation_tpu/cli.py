@@ -95,14 +95,17 @@ def _resolve_scene(args):
     return _scene_and_waypoints(getattr(args, "scene", "obs_tests"))
 
 
-def _frames(args, cfg):
+def _frames(args):
     from .io.scene import trajectory_poses, load_waypoints_csv
     from .io.simulator import simulate_trajectory, TofSpec
 
     if getattr(args, "replay", None):
         from .io.replay import load_frames
 
-        return load_frames(args.replay)
+        frames = load_frames(args.replay)
+        # --max-frames applies to replayed logs too, not only simulated
+        # trajectories
+        return frames[: args.max_frames] if args.max_frames else frames
     scene, wps_default = _resolve_scene(args)
     wps = (load_waypoints_csv(args.waypoints)
            if getattr(args, "waypoints", None) else wps_default)
@@ -133,7 +136,7 @@ def cmd_run(args) -> int:
     if _reject_orphan_world_points(args):
         return 2
     cfg = _build_cfg(args)
-    frames = _frames(args, cfg)
+    frames = _frames(args)
     eng = SegmentationEngine(
         cfg, backend=args.backend, viz_stream=args.viz_stream,
         viz_points=args.viz_points or args.viz_world_points,
@@ -169,8 +172,7 @@ def cmd_run(args) -> int:
 def cmd_record(args) -> int:
     from .io.replay import save_frames
 
-    cfg = _build_cfg(args)
-    frames = _frames(args, cfg)
+    frames = _frames(args)
     n = save_frames(args.log, frames)
     print(f"recorded {n} frames -> {args.log}")
     return 0

@@ -169,15 +169,13 @@ def figure_eight_waypoints(a: float = 1.8, z: float = 1.5, n: int = 48,
     """A lemniscate (figure-eight) waypoint loop at constant height — the
     dev world's `trajectory:=eight` pattern (launch/trajectory.launch:4),
     yaw following the direction of travel."""
-    import numpy as _np
-
-    ts = _np.linspace(0, 2 * _np.pi, n, endpoint=False)
-    xs = a * _np.sin(ts)
-    ys = a * _np.sin(ts) * _np.cos(ts)
+    ts = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    xs = a * np.sin(ts)
+    ys = a * np.sin(ts) * np.cos(ts)
     wps = []
     for k in range(n):
         k2 = (k + 1) % n
-        yaw = float(_np.arctan2(ys[k2] - ys[k], xs[k2] - xs[k]))
+        yaw = float(np.arctan2(ys[k2] - ys[k], xs[k2] - xs[k]))
         wps.append((float(xs[k]), float(ys[k]), z, yaw, duration))
     return tuple(wps)
 
@@ -211,8 +209,12 @@ def parse_wbt_scene(path: str) -> Tuple[Cylinder, ...]:
         m = re.search(rf"DEF SEG{i} Solid\s*{{", text)
         if not m:
             break
-        # take the block up to the next DEF or EOF (flat enough for .wbt)
-        nxt = re.search(rf"DEF SEG{i + 1} Solid", text)
+        # take the block up to the next DEF or EOF (flat enough for .wbt);
+        # search FROM the end of this block's header — SEG defs are not
+        # guaranteed to appear in ascending file order, and a SEG{i+1}
+        # located earlier would slice an empty block (all field regexes
+        # miss -> silently fabricated ground truth at the origin)
+        nxt = re.compile(rf"DEF SEG{i + 1} Solid").search(text, m.end())
         block = text[m.start(): nxt.start() if nxt else len(text)]
         tr = re.search(r"translation\s+(\S+)\s+(\S+)\s+(\S+)", block)
         rot = re.search(r"rotation\s+(\S+)\s+(\S+)\s+(\S+)\s+(\S+)", block)
@@ -254,16 +256,14 @@ def spiral_waypoints(radius: float = 2.0, z0: float = 0.3, z1: float = 2.5,
                      duration: float = 4.0) -> Tuple[Tuple[float, ...], ...]:
     """An orbiting-climb waypoint path facing the structure center — the
     wp_tower.csv flight pattern (53 waypoints climbing the tower)."""
-    import numpy as _np
-
     wps = []
     for k in range(n):
         frac = k / max(n - 1, 1)
-        ang = 2 * _np.pi * turns * frac
-        x = radius * _np.cos(ang)
-        y = radius * _np.sin(ang)
+        ang = 2 * np.pi * turns * frac
+        x = radius * np.cos(ang)
+        y = radius * np.sin(ang)
         z = z0 + (z1 - z0) * frac
-        yaw = float(_np.arctan2(-y, -x))  # face the center
+        yaw = float(np.arctan2(-y, -x))  # face the center
         wps.append((float(x), float(y), float(z), yaw, duration))
     return tuple(wps)
 
@@ -285,7 +285,12 @@ def load_waypoints_csv(path: str) -> Tuple[Tuple[float, ...], ...]:
     rows = []
     with open(path) as f:
         header = f.readline()
-        assert "x" in header
+        if "x" not in header:
+            # a real error, not an assert: python -O would strip an assert
+            # and silently consume the first WAYPOINT as a header
+            raise ValueError(
+                f"{path}: expected a waypoint CSV header containing 'x' "
+                f"(x,y,z,yaw,duration), got {header.strip()!r}")
         for line in f:
             line = line.strip()
             if not line:

@@ -108,6 +108,13 @@ class SegmentationServer:
                  outdir: str = "."):
         self.engine = engine
         self.outdir = outdir
+        # Sanity cap on a single message: one malformed/hostile u32 length
+        # header (the class docstring notes cat-ing a .pcsl file at the
+        # socket is an easy way to produce garbage framing) must not make
+        # the server buffer gigabytes.  Generous headroom over the largest
+        # legitimate frame (engine truncates oversized clouds anyway).
+        self._max_msg = max(1 << 20,
+                            engine.cfg.shapes.max_raw_points * 48 + 4096)
         self._sock = socket.create_server((host, port))
         self._sock.settimeout(0.2)
         self.host, self.port = self._sock.getsockname()[:2]
@@ -187,6 +194,10 @@ class SegmentationServer:
             if hdr is None:
                 return
             mtype, length = _HDR.unpack(hdr)
+            if length > self._max_msg:
+                raise IOError(
+                    f"message length {length} exceeds cap {self._max_msg} "
+                    f"(desynced or hostile client)")
             payload = _recv_exact(conn, length) if length else b""
             if payload is None:
                 return
@@ -203,10 +214,15 @@ class SegmentationServer:
                         # account for every submitted frame before the
                         # flush: without the drain, stop() drops the last
                         # in-flight frame(s) from the CSVs silently
-                        self.engine.drain()
+                        drained = self.engine.drain()
+                        if not drained:
+                            logger.warning(
+                                "finalize: drain timed out — in-flight "
+                                "frames may be missing from the CSVs")
                         self.engine.stop()
                         paths = self.engine.finalize(self.outdir)
-                        self.finalized = {"outputs": paths}
+                        self.finalized = {"outputs": paths,
+                                          "drained": bool(drained)}
                 _send_msg(conn, MSG_SNAP, json.dumps(self.finalized).encode())
                 self._running = False
                 return

@@ -155,3 +155,19 @@ def test_cli_rejects_orphan_viz_world_points(tmp_path, capsys):
                "--out", str(tmp_path)])
     assert rc == 2
     assert "--viz-stream" in capsys.readouterr().err
+
+
+def test_cli_replay_respects_max_frames(tmp_path, capsys):
+    """--max-frames must truncate a --replay log too, not only simulated
+    trajectories."""
+    log = str(tmp_path / "frames.pcsl")
+    rc = main(["record", log, "--hz", "1.0", "--velocity", "0.4",
+               "--max-frames", "4"])
+    assert rc == 0
+    out = str(tmp_path / "out_trunc")
+    rc = main(["run", "--granularity", "2", "--replay", log, "--out", out,
+               "--backend", "oracle", "--max-frames", "2"])
+    assert rc == 0
+    with open(os.path.join(out, "processing_time.csv")) as f:
+        rows = [ln for ln in f.read().splitlines() if ln.strip()]
+    assert len(rows) - 1 == 2       # header + exactly 2 frames

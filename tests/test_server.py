@@ -155,3 +155,29 @@ def test_engine_restarts_after_stop(tmp_path):
         assert s["processed"] + s["dropped"] <= len(frames)
         assert s["processed"] >= 1
     assert eng.frames_processed == s1["processed"] + s2["processed"]
+
+
+def test_server_caps_hostile_message_length(tmp_path):
+    """A malformed/hostile u32 length header (e.g. cat-ing a file at the
+    socket) must drop that connection, not buffer toward 4 GiB."""
+    import socket
+    import struct
+
+    eng = SegmentationEngine(CFG, backend="oracle")
+    srv = SegmentationServer(eng, outdir=str(tmp_path)).start()
+    try:
+        assert srv._max_msg < 0xFFFFFFFF
+        raw = socket.create_connection((srv.host, srv.port), timeout=5.0)
+        raw.sendall(struct.pack("<BI", ord("F"), 0xFFFFFFFF))
+        raw.sendall(b"x" * 4096)            # never gets buffered to 4 GiB
+        time.sleep(0.3)
+        raw.close()
+        # the server survives and serves the next client
+        cli = SegmentationClient(srv.host, srv.port)
+        fr = make_frames(2)[0]
+        cli.send_frame(fr.t, fr.position, fr.quat_wxyz, fr.points)
+        out = cli.finalize()
+        assert out["drained"] is True        # clean drain reported
+        cli.close()
+    finally:
+        srv.stop()

@@ -105,3 +105,38 @@ def test_parse_wbt_dev_world_has_no_labeled_truth():
     parsed = parse_wbt_scene(
         "/root/reference/webots_project/worlds/flying_arena_ros_obs.wbt")
     assert parsed == ()
+
+
+def test_parse_wbt_out_of_order_defs(tmp_path):
+    """SEG defs appearing out of ascending file order must still slice
+    their own blocks (a later-numbered def earlier in the file used to
+    produce an empty block -> fabricated origin cylinders)."""
+    from pointcloud_segmentation_tpu.io.scene import parse_wbt_scene
+
+    wbt = tmp_path / "ooo.wbt"
+    wbt.write_text("""
+DEF SEG2 Solid {
+  translation 5 6 7
+  rotation 0 0 1 0
+  children [ Shape { geometry Cylinder { radius 0.07 height 2 } } ]
+}
+DEF SEG1 Solid {
+  translation 1 2 3
+  rotation 0 0 1 0
+  children [ Shape { geometry Cylinder { radius 0.05 height 2 } } ]
+}
+""")
+    beams = parse_wbt_scene(str(wbt))
+    assert len(beams) == 2
+    assert beams[0].center == (1.0, 2.0, 3.0) and beams[0].radius == 0.05
+    assert beams[1].center == (5.0, 6.0, 7.0) and beams[1].radius == 0.07
+
+
+def test_load_waypoints_csv_rejects_headerless(tmp_path):
+    from pointcloud_segmentation_tpu.io.scene import load_waypoints_csv
+
+    p = tmp_path / "wp.csv"
+    p.write_text("1.0,2.0,3.0,0.0,5.0\n")
+    import pytest
+    with pytest.raises(ValueError, match="header"):
+        load_waypoints_csv(str(p))
