@@ -301,14 +301,20 @@ class SegmentationEngine:
             self.save_checkpoint(self.checkpoint_path)
 
         if self._viz_stream is not None:
-            self._emit_viz_frame(t, info)
+            self._emit_viz_frame(t, info, position, quat)
 
         record = dict(record, status=info["status"], t=t)
         return record
 
-    def _emit_viz_frame(self, t: float, info: dict) -> None:
+    def _emit_viz_frame(self, t: float, info: dict,
+                        position=None, quat_wxyz=None) -> None:
         """One per-frame visualization record — the node's every-frame
-        marker re-publish (node.cpp:676-842) as a JSONL stream/callback."""
+        marker re-publish (node.cpp:676-842) as a JSONL stream/callback.
+
+        Includes the frame's drone pose: the reference's RViz session
+        displays the `/mavros/local_position/pose` pose and its Path trail
+        alongside the markers (rviz/drone_pc.rviz pose/path displays), so
+        the player can render the flight path the same way."""
         viz = self.visualization(include_points=False)
         rec = {
             "frame": self.frames_processed,
@@ -326,6 +332,11 @@ class SegmentationEngine:
                  "text": s["text"]}
                 for s in viz["intersections"]],
         }
+        if position is not None:
+            rec["drone"] = {
+                "position": [float(v) for v in np.asarray(position)],
+                "quat_wxyz": [float(v) for v in np.asarray(quat_wxyz)],
+            }
         if self._frame_points is not None:
             cap = 4096
             rec["filtered_points"] = np.round(

@@ -360,6 +360,28 @@ function draw(){
   line3([0,0,0],[0.5,0,0],2,'#a33'); line3([0,0,0],[0,0.5,0],2,'#3a3');
   line3([0,0,0],[0,0,0.5],2,'#33a');
   const fr = FRAMES[cur]; if (!fr) return;
+  // drone flight path + current pose (the RViz Path / Pose displays)
+  ctx.strokeStyle = '#59f'; ctx.lineWidth = 1.5; ctx.beginPath();
+  let onPath = false;
+  for (let i = 0; i <= cur; i++){
+    const d = FRAMES[i] && FRAMES[i].drone; if (!d) continue;
+    const q = proj(d.position);
+    if (onPath) ctx.lineTo(q[0], q[1]);
+    else { ctx.moveTo(q[0], q[1]); onPath = true; }
+  }
+  ctx.stroke();
+  if (fr.drone){
+    const dp = fr.drone.position, q = fr.drone.quat_wxyz;
+    // body +x (sensor boresight) in world frame: R(q) @ [1,0,0]
+    const fwd = [1 - 2*(q[2]*q[2] + q[3]*q[3]),
+                 2*(q[1]*q[2] + q[0]*q[3]),
+                 2*(q[1]*q[3] - q[0]*q[2])];
+    line3(dp, [dp[0] + 0.3*fwd[0], dp[1] + 0.3*fwd[1], dp[2] + 0.3*fwd[2]],
+          2, '#59f');
+    const pp = proj(dp);
+    ctx.fillStyle = '#59f';
+    ctx.beginPath(); ctx.arc(pp[0], pp[1], 4, 0, 6.283); ctx.fill();
+  }
   if (fr.filtered_points){ ctx.fillStyle = '#667';
     for (const p of fr.filtered_points){ const q = proj(p);
       ctx.fillRect(q[0], q[1], 2, 2); } }

@@ -296,6 +296,11 @@ def test_engine_viz_stream(replay_frames, tmp_path):
     assert counts[-1] == len(eng.world_segments())
     for c in recs[-1]["cylinders"]:
         assert len(c["p1"]) == 3 and len(c["p2"]) == 3 and c["radius"] > 0
+    # each record carries the frame's drone pose (the RViz pose/path
+    # displays, rviz/drone_pc.rviz): position+quat match the fed pose
+    for r, fr in zip(recs, replay_frames):
+        assert np.allclose(r["drone"]["position"], fr.position, atol=1e-6)
+        assert np.allclose(r["drone"]["quat_wxyz"], fr.quat_wxyz, atol=1e-6)
 
 
 def test_engine_viz_stream_callback(replay_frames):
@@ -303,6 +308,7 @@ def test_engine_viz_stream_callback(replay_frames):
     eng = SegmentationEngine(CFG, backend="jax", viz_stream=got.append)
     eng.run_replay(replay_frames[:2])
     assert len(got) == 2 and got[0]["frame"] == 1
+    assert len(got[0]["drone"]["position"]) == 3
 
 
 def test_engine_batched_replay_matches_synchronous(replay_frames):
