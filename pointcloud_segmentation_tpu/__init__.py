@@ -8,7 +8,12 @@ segment fusion, pairwise intersections), with reference-compatible YAML
 config and CSV outputs.
 """
 
+from ._malloc import cap_malloc_arenas as _cap_malloc_arenas
 from .config import PipelineConfig, StaticShapes, default_config, NUM_DIRECTIONS
+
+# Apply before anything (jax, XLA thread pools) can create extra arenas —
+# late application still plateaus but ramps first (see _malloc.py).
+_cap_malloc_arenas()
 
 __version__ = "0.1.0"
 

@@ -30,12 +30,12 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..config import PipelineConfig, VERBOSE_INFO, VERBOSE_NONE
+from .._malloc import cap_malloc_arenas as _cap_malloc_arenas
 from .posebuffer import PoseBuffer
 from .mailbox import LatestWinsMailbox
 from . import csvio
 
 logger = logging.getLogger("pointcloud_segmentation_tpu")
-
 
 def _waterfill_quotas(lens, cap):
     """Waterfill a total point budget across per-slot lengths, favoring no
@@ -671,6 +671,7 @@ class SegmentationEngine:
         Restart-safe: a mailbox closed by a previous stop() is replaced."""
         if self._worker is not None:
             return
+        _cap_malloc_arenas()   # defensive: no-op if the package import did it
         if self._stream_deferred and not getattr(self, "_flush_warmed", False):
             # Pre-compile the deferred path's (K, 4) flush stack BEFORE the
             # worker needs it: on the axon relay a first-use compile costs

@@ -688,3 +688,43 @@ def test_collect_inlier_points_last_writer_wins():
     assert list(eng._inlier_points) == [5]
     assert len(eng._inlier_points[5]) == 1
     np.testing.assert_allclose(eng._inlier_points[5][0], filtered[2:4])
+
+
+def test_engine_restart_rss_bounded(replay_frames):
+    """Repeated start/stream/stop sessions must not grow host RSS: each
+    restarted worker/flusher thread lands on a glibc malloc arena, and
+    without the package-wide M_ARENA_MAX cap (_malloc.py) every restart
+    retained ~8 MB of arena high-water on CPU (~65 MB/chunk through the
+    TPU relay) — the leak tools/endurance.py caught.  With the cap the
+    measured growth is ~0.03 MB/session; assert a generous bound that
+    still fails hard if the cap is removed."""
+
+    def rss_mb():
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024.0
+        return float("nan")
+
+    eng = SegmentationEngine(CFG, backend="jax", stream_sync_every=3)
+
+    def session():
+        eng.start()
+        for fr in replay_frames[:2]:
+            _submit_and_wait(eng, fr)
+        eng.stop()
+
+    session()   # warm: first-session compiles + arena touch
+    session()
+    # Point samples oscillate by ~85 MB (an XLA CPU scratch buffer is
+    # live-or-freed at sample time), so compare window MINIMA: the arena
+    # retention being hunted is monotonic and raises the floor.
+    samples = []
+    n = 8
+    for _ in range(n):
+        session()
+        samples.append(rss_mb())
+    growth = min(samples[-3:]) - min(samples[:3])
+    assert growth < 3.0 * n, (
+        f"streaming restarts leak {growth / n:.1f} MB/session "
+        "(glibc arena retention — is the M_ARENA_MAX cap still applied?)")

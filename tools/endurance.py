@@ -1,0 +1,140 @@
+"""Endurance soak: sustained streaming through the production runtime.
+
+The streaming benchmarks (bench.py `bench_streaming`) measure ~40-120 s
+windows; this tool runs the SAME production path — native C++ feeder ->
+latest-wins mailbox -> consumer thread -> jit'd step -> async flusher —
+continuously for minutes to hours (ONE stream, like a deployed mapping
+node over a whole flight) and samples throughput, drop fraction, host
+RSS, and world-map size every ~30 s.  Throughput must hold steady (no
+compile storms, no queue leaks, no degradation as the world map
+saturates its fixed capacity) and host memory must stay flat.
+
+This tool's first run caught a real one: restarting the engine's
+worker/flusher threads per chunk leaked ~8 MB/restart (CPU) and
+~65 MB/chunk (TPU relay) of glibc arena high-water — fixed by the
+package-wide M_ARENA_MAX cap (pointcloud_segmentation_tpu/_malloc.py).
+
+Run bare on the TPU (owns the chip; no kill timeout):
+
+    python tools/endurance.py [minutes=10] [rate_hz=30] [granularity=4]
+
+Prints one line per sample window and a final JSON summary; exit 1 if
+the last window's throughput fell >15% below the median window
+(degradation) or RSS grew >25% end-over-start after the first window
+(leak heuristic).
+"""
+
+import json
+import math
+import os
+import sys
+import tempfile
+import threading
+import time
+
+
+def rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1024.0
+    return float("nan")
+
+
+def main() -> int:
+    minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
+    rate = float(sys.argv[2]) if len(sys.argv) > 2 else 30.0
+    granularity = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+
+    from pointcloud_segmentation_tpu.config import (
+        default_config, StaticShapes)
+    from pointcloud_segmentation_tpu.io.replay import save_frames
+    from pointcloud_segmentation_tpu.runtime.engine import SegmentationEngine
+
+    cfg = default_config(
+        granularity=granularity,
+        shapes=StaticShapes(max_raw_points=4096, max_points=2048,
+                            max_world_segments=64))
+    frames = bench.build_frames(cfg, 40)
+    log_path = os.path.join(tempfile.gettempdir(), "endurance.pcsl")
+    save_frames(log_path, frames)
+
+    eng = SegmentationEngine(cfg)
+    # warm every compile outside the measured window (per-frame step +
+    # the deferred flush stack pre-compiled by engine.start)
+    eng.push_pose(frames[0].t, frames[0].position, frames[0].quat_wxyz)
+    eng.process_frame(frames[0].t, frames[0].points)
+
+    # ONE continuous stream for the whole soak — the deployed shape.
+    loops = max(1, math.ceil(minutes * 60.0 * rate / len(frames)))
+    result = {}
+
+    def _run():
+        result.update(eng.run_streaming_from_log(
+            log_path, rate_hz=rate, loops=loops))
+
+    runner = threading.Thread(target=_run, daemon=True)
+    window_s = 30.0
+    print(f"endurance: {minutes:.1f} min @ {rate:.0f} Hz, g{granularity}, "
+          f"one stream of {loops * len(frames)} frames, "
+          f"rss0={rss_mb():.0f} MB", flush=True)
+    runner.start()
+    windows = []
+    last_proc, last_drop, last_t = (eng.frames_processed,
+                                    eng.dropped_frames, time.perf_counter())
+    while runner.is_alive():
+        runner.join(timeout=window_s)
+        now = time.perf_counter()
+        proc, drop = eng.frames_processed, eng.dropped_frames
+        dt = now - last_t
+        fed_delta = (proc - last_proc) + (drop - last_drop)
+        windows.append({
+            "processed_per_sec": round((proc - last_proc) / dt, 2),
+            "drop_fraction": round(
+                (drop - last_drop) / max(fed_delta, 1), 4),
+            "rss_mb": round(rss_mb(), 1),
+            # world map size via counters only: a device read here would
+            # contend with the stream's own flusher for the relay
+            "world_segments": None,
+        })
+        last_proc, last_drop, last_t = proc, drop, now
+        c = windows[-1]
+        print(f"window {len(windows)}: {c['processed_per_sec']:.1f} proc/s "
+              f"drops={c['drop_fraction']:.1%} rss={c['rss_mb']:.0f} MB",
+              flush=True)
+    n_segs = len(eng.world_segments())
+
+    # the final window is a partial (drain tail) — judge on full windows
+    full = windows[:-1] if len(windows) > 1 else windows
+    rates_seen = sorted(c["processed_per_sec"] for c in full)
+    median = rates_seen[len(rates_seen) // 2] if rates_seen else 0.0
+    last = full[-1]["processed_per_sec"] if full else 0.0
+    degraded = len(full) >= 3 and last < 0.85 * median
+    rss_first = full[0]["rss_mb"] if full else 0.0
+    rss_last = full[-1]["rss_mb"] if full else 0.0
+    leaked = len(full) >= 3 and rss_last > 1.25 * rss_first
+    summary = {
+        "minutes": minutes, "rate_hz": rate, "granularity": granularity,
+        "windows": len(windows),
+        "fed": result.get("fed"), "processed": result.get("processed"),
+        "dropped": result.get("dropped"),
+        "median_processed_per_sec": median,
+        "min_processed_per_sec": rates_seen[0] if rates_seen else 0.0,
+        "max_processed_per_sec": rates_seen[-1] if rates_seen else 0.0,
+        "last_processed_per_sec": last,
+        "drop_fraction_overall": round(
+            result.get("dropped", 0) / max(result.get("fed", 1), 1), 4),
+        "rss_mb_first_window": rss_first, "rss_mb_last": rss_last,
+        "world_segments_final": n_segs,
+        "degraded": degraded, "leaked": leaked,
+    }
+    print(json.dumps(summary), flush=True)
+    return 1 if (degraded or leaked) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
