@@ -386,21 +386,38 @@ static void pcs_feeder_run(PcsFeeder* fd) {
   std::vector<float> pts(1u << 22);  // 4M floats ~= 1.4M points cap
   std::vector<uint8_t> payload;
   auto next = std::chrono::steady_clock::now();
+  // Per-loop monotonic time offset.  Replaying the log's raw timestamps
+  // every loop wraps t backward; the sorted pose ring then accumulates the
+  // globally-largest timestamps and evicts everything else, so once it has
+  // seen capacity pushes every lookup for a fresh frame fails (measured in
+  // the 10-min endurance soak: skipped_no_pose ramps without bound while
+  // throughput decays 30 -> 10.5 proc/s).  A continuous sensor never
+  // rewinds its clock, so neither does the feeder: each loop k replays at
+  // t + k * (span + gap), keeping the stream strictly monotonic.
+  double t_first = 0.0, t_last = 0.0, gap = 0.0, offset = 0.0;
+  bool have_first = false;
   for (int loop = 0; loop < fd->loops && !fd->stop; loop++) {
     PcsLogReader* r = pcs_log_open_read(fd->path.c_str());
     if (!r) break;
     double t, pos[3], quat[4];
+    double prev_t = 0.0;
+    bool have_prev = false;
     for (;;) {
       if (fd->stop) break;
       int64_t n = pcs_log_read_frame(r, &t, pos, quat, pts.data(),
                                      uint32_t(pts.size() / 3));
       if (n < 0) break;
+      if (!have_first) { t_first = t; have_first = true; }
+      if (have_prev && t > prev_t) gap = t - prev_t;
+      prev_t = t; have_prev = true;
+      t_last = t;
+      double tt = t + offset;
       uint32_t take = uint32_t(n) < uint32_t(pts.size() / 3)
                           ? uint32_t(n) : uint32_t(pts.size() / 3);
-      if (fd->pb) pcs_posebuf_push(fd->pb, t, pos, quat);
+      if (fd->pb) pcs_posebuf_push(fd->pb, tt, pos, quat);
       if (fd->mb) {
         payload.resize(12 + size_t(take) * 12);
-        std::memcpy(payload.data(), &t, 8);
+        std::memcpy(payload.data(), &tt, 8);
         std::memcpy(payload.data() + 8, &take, 4);
         std::memcpy(payload.data() + 12, pts.data(), size_t(take) * 12);
         pcs_mailbox_put(fd->mb, payload.data(), payload.size());
@@ -412,6 +429,13 @@ static void pcs_feeder_run(PcsFeeder* fd) {
       }
     }
     pcs_log_close_read(r);
+    // Advance the next loop past this one's last frame.  The inter-loop
+    // gap mirrors the feed cadence: the paced period when rate-limited,
+    // else the log's own last inter-frame gap (or 1 ms for a one-frame
+    // log, which has no gap to mirror).
+    double step = fd->rate_hz > 0 ? 1.0 / fd->rate_hz
+                                  : (gap > 0 ? gap : 1e-3);
+    offset += (t_last - t_first) + step;
   }
   if (fd->mb && fd->close_on_end) pcs_mailbox_close(fd->mb);
   fd->done = 1;

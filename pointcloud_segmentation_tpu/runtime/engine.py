@@ -91,7 +91,8 @@ class SegmentationEngine:
                  checkpoint_path: Optional[str] = None,
                  viz_stream: Optional[object] = None,
                  viz_points: bool = False,
-                 stream_sync_every: int = 64):
+                 stream_sync_every: int = 64,
+                 journal_reset_every: Optional[int] = None):
         """viz_stream: per-frame visualization feed (the RViz re-publish
         loop analog, node.cpp:676-842).  A str/path appends one JSON line
         per processed frame (frame counters + the marker structures of
@@ -121,7 +122,17 @@ class SegmentationEngine:
         queueing unboundedly.  Set <= 1 to force the synchronous per-frame
         readback path.  Deferred mode is automatically disabled when
         per-frame host work needs the frame's own values or state
-        (viz_stream, collect_inlier_points, verbose_level > 0)."""
+        (viz_stream, collect_inlier_points, verbose_level > 0).
+
+        journal_reset_every: axon-relay host-RSS bound (frames).  The relay
+        client journals every operation — transfer payloads included — for
+        replay-on-disconnect and never compacts, leaking ~55 KB of host RSS
+        per processed frame (runtime/relay.py).  Every this-many processed
+        frames the engine snapshots the world state in ONE packed read,
+        clears the journal (`axon_reset`), and re-uploads — bit-exact, with
+        compiled executables retained.  None (default) = auto: on when the
+        jax backend is the axon relay, off elsewhere (no other backend
+        leaks).  0 disables."""
         self.cfg = cfg
         self.backend = backend
         self.poses = self._make_pose_buffer()
@@ -209,13 +220,27 @@ class SegmentationEngine:
                     "jax.experimental.enable_x64())")
             self._step = make_process_frame_packed(cfg)
             self._state = init_world(cfg)
+            from . import relay
+
+            self._relay = relay
+            if journal_reset_every is None:
+                journal_reset_every = (
+                    self._JOURNAL_RESET_EVERY_DEFAULT
+                    if relay.is_axon_platform() and relay.reset_supported()
+                    else 0)
+            self.journal_reset_every = int(journal_reset_every)
         elif backend == "oracle":
             from .. import oracle
 
             self._oracle = oracle
             self._wm = oracle.WorldMap(cfg)
+            self.journal_reset_every = 0
         else:
             raise ValueError(f"unknown backend {backend!r}")
+        self.journal_resets = 0          # completed journal resets
+        self._last_reset_processed = 0   # frames_processed at the last one
+        self._state_pack = None          # (pack, unpack) jitted pair
+        self._flusher_busy = False
 
     def _make_mailbox(self):
         """Prefer the native (C++) latest-wins mailbox; fall back to Python."""
@@ -681,6 +706,10 @@ class SegmentationEngine:
             with self._state_lock, self._read_lock:
                 _ = np.asarray(jnp.stack([z] * self.stream_sync_every))
             self._flush_warmed = True
+        if self.journal_reset_every and self.backend == "jax":
+            # same reasoning: the packed snapshot pair must not compile
+            # mid-stream at the first cadence crossing
+            self._ensure_state_packer()
         if getattr(self, "_mailbox_closed", False):
             # carry the old mailbox's drop count so dropped_frames stays
             # cumulative across restarts
@@ -737,6 +766,11 @@ class SegmentationEngine:
     # (bounds in-flight frames to ~(this+1) * stream_sync_every under a
     # sustained overfeed — see the backpressure note in _worker_loop).
     _STREAM_MAX_UNREAD_BATCHES = 2
+    # Default axon journal-reset cadence (see journal_reset_every): the
+    # relay journals ~55 KB/frame, so 1024 frames bounds the RSS swing to
+    # ~60 MB while the reset itself (one packed read + one re-upload,
+    # ~50-80 ms through the relay) amortizes to < 0.3% at 30 Hz.
+    _JOURNAL_RESET_EVERY_DEFAULT = 1024
 
     def _process_frame_deferred(self, t: float, points: np.ndarray) -> bool:
         """Streaming fast path: dispatch the jit'd step WITHOUT the per-frame
@@ -836,18 +870,99 @@ class SegmentationEngine:
             item = self._flush_q.get()
             if item is None:
                 return
-            # Start the blocking read only in a worker-idle window (see
-            # _worker_idle) — a read against a continuously-fed device
-            # queue drags for seconds and slows the steps it overlaps.
-            # Once the stream is stopping (_running False) read at will:
-            # the feed has ended and the queue is draining.
-            while self._running and not self._worker_idle.wait(timeout=0.05):
-                pass
+            self._flusher_busy = True
             try:
-                self._backfill_batch(*item)
-            except Exception:
-                logger.exception("flush backfill failed; records keep "
-                                 "their -1 sentinels for this batch")
+                # Start the blocking read only in a worker-idle window (see
+                # _worker_idle) — a read against a continuously-fed device
+                # queue drags for seconds and slows the steps it overlaps.
+                # Once the stream is stopping (_running False) read at will:
+                # the feed has ended and the queue is draining.
+                while (self._running
+                        and not self._worker_idle.wait(timeout=0.05)):
+                    pass
+                try:
+                    self._backfill_batch(*item)
+                except Exception:
+                    logger.exception("flush backfill failed; records keep "
+                                     "their -1 sentinels for this batch")
+            finally:
+                self._flusher_busy = False
+
+    # ------------------------------------------------------- journal reset
+
+    def _ensure_state_packer(self) -> None:
+        """Build + compile the packed state snapshot pair (one-time remote
+        compile; done at start() so no stream pays it mid-flight)."""
+        if self._state_pack is not None or self.backend != "jax":
+            return
+        from .relay import make_pytree_packer
+
+        with self._state_lock, self._read_lock:
+            self._state_pack = make_pytree_packer(self._state)
+            pack, unpack = self._state_pack
+            # compile both programs now (the dummy round-trip result is
+            # discarded; _state itself is untouched)
+            unpack(pack(self._state)).count.block_until_ready()
+
+    def _journal_reset_now(self) -> bool:
+        """Snapshot world state (ONE packed read), clear the relay journal,
+        re-upload (ONE transfer + ONE dispatch).  Bit-exact: float bits ride
+        a uint32 bitcast both ways.  Caller must guarantee NO other device
+        handle is live (pending scalar batches flushed AND read back)."""
+        self._ensure_state_packer()
+        pack, unpack = self._state_pack
+        with self._state_lock, self._read_lock:
+            vec = np.asarray(pack(self._state))       # the one read
+            if not self._relay.journal_reset():
+                # plugin absent (non-axon jax backend): nothing leaked,
+                # nothing to do — but advance the cadence anchor so the
+                # worker does not retry every frame
+                self._last_reset_processed = self.frames_processed
+                return False
+            self._state = unpack(self._jnp.asarray(vec))
+            self.journal_resets += 1
+            self._last_reset_processed = self.frames_processed
+        return True
+
+    def _maybe_journal_reset(self) -> None:
+        """Worker-thread cadence check.  In deferred-streaming mode the
+        packed scalar handles parked on device would die with the journal,
+        so the pending batch is flushed and the flusher drained first."""
+        if (not self.journal_reset_every or self.backend != "jax"
+                or (self.frames_processed - self._last_reset_processed)
+                < self.journal_reset_every):
+            return
+        if self._stream_deferred:
+            if self._pending:
+                try:
+                    self._flush_pending()
+                except Exception:
+                    logger.exception("pre-reset flush failed; reset skipped")
+                    return
+            # Drain the flusher: it only receives work from this thread,
+            # so empty-queue + not-busy cannot regress once observed.
+            self._worker_idle.set()     # let its idle-gated read start
+            while self._running and (not self._flush_q.empty()
+                                     or self._flusher_busy):
+                time.sleep(0.002)
+            if not self._flush_q.empty() or self._flusher_busy:
+                return                  # stopping mid-drain: stop() handles it
+        if not self._running:
+            return
+        self._journal_reset_now()
+
+    def journal_reset(self) -> bool:
+        """Manual snapshot->reset->restore of the relay journal (see
+        journal_reset_every).  For replay/bench sessions between frames;
+        a streaming engine runs its own cadence — calling this while the
+        worker owns in-flight device handles would kill them."""
+        if self.backend != "jax":
+            return False
+        if self._running:
+            raise RuntimeError(
+                "journal_reset() during streaming: the worker owns in-flight "
+                "device handles; use journal_reset_every instead")
+        return self._journal_reset_now()
 
     def _worker_loop(self) -> None:
         # A processing error must not silently kill the consumer thread (the
@@ -868,6 +983,7 @@ class SegmentationEngine:
                         self._flush_pending()
                     except Exception:
                         logger.exception("pending flush failed")
+                self._maybe_journal_reset()
                 continue
             self._worker_idle.clear()
             t, points = item
@@ -906,6 +1022,7 @@ class SegmentationEngine:
                         >= self._STREAM_MAX_UNREAD_BATCHES):
                     self._worker_idle.set()
                     time.sleep(0.005)
+            self._maybe_journal_reset()
         if deferred and self._pending:
             try:
                 self._flush_pending()
@@ -1010,11 +1127,20 @@ class SegmentationEngine:
 
             frames = load_frames(log_path)
             period = 1.0 / rate_hz if rate_hz > 0 else 0.0
+            # Per-loop monotonic time offset (mirrors the native feeder):
+            # replaying raw timestamps every loop rewinds the clock, and the
+            # sorted pose ring then evicts everything but the largest
+            # timestamps — after enough loops every fresh-frame pose lookup
+            # starves (endurance-soak pathology; see pcs_feeder_run).
+            gaps = [b.t - a.t for a, b in zip(frames, frames[1:]) if b.t > a.t]
+            span = ((frames[-1].t - frames[0].t) if frames else 0.0) + (
+                period or (gaps[-1] if gaps else 1e-3))
             fed = 0
-            for _ in range(max(loops, 1)):
+            for loop in range(max(loops, 1)):
+                off = loop * span
                 for fr in frames:
-                    self.push_pose(fr.t, fr.position, fr.quat_wxyz)
-                    self.submit_cloud(fr.t, fr.points)
+                    self.push_pose(fr.t + off, fr.position, fr.quat_wxyz)
+                    self.submit_cloud(fr.t + off, fr.points)
                     fed += 1
                     if period:
                         _time.sleep(period)

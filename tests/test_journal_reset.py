@@ -1,0 +1,203 @@
+"""Axon journal reset: bounded host RSS for endless relay streams.
+
+The relay client journals every operation (payloads included) for
+replay-on-disconnect and never compacts — ~55 KB host RSS per processed
+frame, unbounded (runtime/relay.py).  The engine's cadenced reset
+snapshots the world state in ONE packed read, clears the journal, and
+re-uploads.  These tests run the full machinery on CPU with the actual
+`axon_reset()` call stubbed (the .so's reset is only meaningful against a
+live relay session; its contract — all pre-reset device buffers die,
+executables survive — is documented from measurement in relay.py).
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pointcloud_segmentation_tpu.config import default_config, StaticShapes
+from pointcloud_segmentation_tpu.runtime import SegmentationEngine
+from pointcloud_segmentation_tpu.runtime import relay
+from pointcloud_segmentation_tpu.io.scene import (
+    OBS_TESTS_SCENE, WP_TESTS, trajectory_poses)
+from pointcloud_segmentation_tpu.io.simulator import simulate_trajectory, TofSpec
+from pointcloud_segmentation_tpu.worldmap import WorldState, init_world
+
+CFG = default_config(
+    granularity=2,
+    shapes=StaticShapes(max_raw_points=4096, max_points=2048,
+                        max_world_segments=32),
+)
+
+
+@pytest.fixture()
+def frames():
+    poses = trajectory_poses(WP_TESTS, hz=1.0, velocity=0.4)[:8]
+    return simulate_trajectory(OBS_TESTS_SCENE, poses,
+                               TofSpec(noise_frac=0.002), seed=1)
+
+
+def _rand_state(cfg, seed=7):
+    """A WorldState with adversarial bit patterns (negative zeros, denormals,
+    NaN payloads survive a BIT-exact snapshot; a value-level copy would not
+    distinguish them)."""
+    rng = np.random.default_rng(seed)
+    S = cfg.shapes.max_world_segments
+    f = np.float32
+    a = rng.normal(size=(S, 3)).astype(f)
+    a[0, 0] = np.float32(-0.0)
+    a[1, 1] = np.float32(1e-42)            # denormal
+    inter = rng.normal(size=(S, S, 2)).astype(f)
+    inter[2, 3, 0] = np.nan
+    return WorldState(
+        a=jnp.asarray(a), b=jnp.asarray(rng.normal(size=(S, 3)).astype(f)),
+        t_min=jnp.asarray(rng.normal(size=S).astype(f)),
+        t_max=jnp.asarray(rng.normal(size=S).astype(f)),
+        radius=jnp.asarray(rng.normal(size=S).astype(f)),
+        points_size=jnp.asarray(
+            rng.integers(-2**31, 2**31 - 1, size=S, dtype=np.int32)),
+        pca_coeff=jnp.asarray(rng.normal(size=S).astype(f)),
+        pca_eigenvalues=jnp.asarray(rng.normal(size=(S, 3)).astype(f)),
+        valid=jnp.asarray(rng.integers(0, 2, size=S).astype(bool)),
+        count=jnp.int32(17),
+        inter=jnp.asarray(inter))
+
+
+def _assert_state_bit_equal(x: WorldState, y: WorldState):
+    for name in WorldState._fields:
+        xa, ya = np.asarray(getattr(x, name)), np.asarray(getattr(y, name))
+        assert xa.dtype == ya.dtype and xa.shape == ya.shape, name
+        if xa.dtype.kind == "f":
+            np.testing.assert_array_equal(
+                xa.view(np.uint32 if xa.dtype.itemsize == 4 else np.uint64),
+                ya.view(np.uint32 if xa.dtype.itemsize == 4 else np.uint64),
+                err_msg=name)
+        else:
+            np.testing.assert_array_equal(xa, ya, err_msg=name)
+
+
+def test_packer_roundtrip_bit_exact():
+    st = _rand_state(CFG)
+    pack, unpack = relay.make_pytree_packer(st)
+    vec = np.asarray(pack(st))
+    assert vec.dtype == np.uint32 and vec.ndim == 1
+    # the reset path round-trips through HOST memory — include it
+    _assert_state_bit_equal(st, unpack(jnp.asarray(vec)))
+
+
+def test_packer_roundtrip_f64():
+    """x64 leaves ride 2 uint32 words each; pairing must survive ravel."""
+    with jax.enable_x64(True):
+        st = init_world(CFG, dtype=jnp.float64)
+        st = st._replace(
+            a=st.a.at[0, 0].set(-0.0),
+            t_min=st.t_min.at[1].set(np.nextafter(np.float64(1.0), 2.0)))
+        pack, unpack = relay.make_pytree_packer(st)
+        vec = np.asarray(pack(st))
+        back = unpack(jnp.asarray(vec))
+        for name in WorldState._fields:
+            xa, ya = np.asarray(getattr(st, name)), np.asarray(
+                getattr(back, name))
+            assert xa.dtype == ya.dtype, name
+            if xa.dtype.kind == "f":
+                np.testing.assert_array_equal(
+                    xa.view(np.uint64), ya.view(np.uint64), err_msg=name)
+            else:
+                np.testing.assert_array_equal(xa, ya, err_msg=name)
+
+
+def test_manual_journal_reset_state_identical(frames, monkeypatch):
+    """journal_reset() between replay frames must be invisible: identical
+    world map (bit-exact) and identical remaining-frame results versus an
+    uninterrupted run."""
+    calls = []
+    monkeypatch.setattr(relay, "journal_reset", lambda: calls.append(1) or True)
+
+    ref = SegmentationEngine(CFG, backend="jax", journal_reset_every=0)
+    recs_ref = ref.run_replay(frames)
+
+    eng = SegmentationEngine(CFG, backend="jax", journal_reset_every=0)
+    recs = []
+    for i, fr in enumerate(frames):
+        eng.push_pose(fr.t, fr.position, fr.quat_wxyz)
+        recs.append(eng.process_frame(fr.t, fr.points))
+        if i == 3:
+            before = jax.tree_util.tree_map(np.asarray, eng._state)
+            assert eng.journal_reset()
+            _assert_state_bit_equal(before, eng._state)
+    assert len(calls) == 1 and eng.journal_resets == 1
+    assert [r["seg_vec_size"] for r in recs] == \
+        [r["seg_vec_size"] for r in recs_ref]
+    _assert_state_bit_equal(ref._state, eng._state)
+
+
+def test_streaming_cadence_reset(frames, monkeypatch):
+    """The deferred-streaming worker runs resets on its frame cadence:
+    pending scalar batches are flushed+read first (no -1 sentinels die with
+    the journal), and the final map matches a synchronous replay."""
+    calls = []
+    monkeypatch.setattr(relay, "journal_reset", lambda: calls.append(1) or True)
+
+    eng = SegmentationEngine(CFG, backend="jax", stream_sync_every=3,
+                             journal_reset_every=3)
+    assert eng._stream_deferred
+    eng.start()
+    for fr in frames:
+        target = (eng.frames_processed + eng.frames_skipped_no_pose
+                  + eng.frames_failed + 1)
+        eng.push_pose(fr.t, fr.position, fr.quat_wxyz)
+        eng.submit_cloud(fr.t, fr.points)
+        deadline = time.time() + 60
+        while (eng.frames_processed + eng.frames_skipped_no_pose
+               + eng.frames_failed) < target and time.time() < deadline:
+            time.sleep(0.002)
+    # let the worker cross the final cadence in an idle window
+    deadline = time.time() + 10
+    while eng.journal_resets < 2 and time.time() < deadline:
+        time.sleep(0.01)
+    eng.stop()
+    assert eng.journal_resets >= 2
+    assert len(calls) == eng.journal_resets
+    assert eng.frames_processed == len(frames)
+    assert all(r["seg_vec_size"] >= 0 and r["nblines"] >= 0
+               for r in eng.records)
+    ref = SegmentationEngine(CFG, backend="jax")
+    recs_ref = ref.run_replay(frames)
+    assert [r["seg_vec_size"] for r in eng.records] == \
+        [r["seg_vec_size"] for r in recs_ref]
+    _assert_state_bit_equal(ref._state, eng._state)
+
+
+def test_journal_reset_rejected_while_running(frames, monkeypatch):
+    monkeypatch.setattr(relay, "journal_reset", lambda: True)
+    eng = SegmentationEngine(CFG, backend="jax", journal_reset_every=0)
+    eng.start()
+    try:
+        with pytest.raises(RuntimeError, match="streaming"):
+            eng.journal_reset()
+    finally:
+        eng.stop()
+
+
+def test_reset_unsupported_is_noop(frames, monkeypatch):
+    """Without the plugin library journal_reset() reports False and the
+    engine state is untouched (CPU backends don't leak — nothing to do)."""
+    monkeypatch.setattr(relay, "journal_reset", lambda: False)
+    eng = SegmentationEngine(CFG, backend="jax", journal_reset_every=0)
+    eng.push_pose(frames[0].t, frames[0].position, frames[0].quat_wxyz)
+    eng.process_frame(frames[0].t, frames[0].points)
+    before = jax.tree_util.tree_map(np.asarray, eng._state)
+    assert eng.journal_reset() is False
+    assert eng.journal_resets == 0
+    _assert_state_bit_equal(before, eng._state)
+
+
+def test_auto_default_off_on_cpu():
+    eng = SegmentationEngine(CFG, backend="jax")
+    assert eng.journal_reset_every == 0   # tests force the CPU platform
+    eng2 = SegmentationEngine(CFG, backend="oracle")
+    assert eng2.journal_reset_every == 0

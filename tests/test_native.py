@@ -201,6 +201,61 @@ def test_native_feeder_paces_and_drops(tmp_path):
 
 
 @needs_native
+def test_native_feeder_loops_monotonic_time(tmp_path):
+    """Looped replay must keep the stream's clock strictly monotonic.
+
+    Replaying the log's raw timestamps every loop rewinds t; the sorted
+    pose ring then evicts everything but the globally-largest timestamps,
+    and once it has seen `capacity` pushes every fresh-frame pose lookup
+    starves (the 10-min endurance soak decayed 30 -> 10.5 proc/s this
+    way).  The feeder now offsets each loop past the previous one."""
+    frames = make_frames(5, 8, seed=3)
+    p = str(tmp_path / "loop.pcsl")
+    save_frames(p, frames)
+
+    mb = native.NativeMailbox(max_points=64)
+    pb = native.NativePoseBuffer(capacity=16)   # << loops * frames
+    f = native.NativeFeeder(p, mb, pb, rate_hz=0.0, loops=20,
+                            close_on_end=True)
+    ts = []
+    while True:
+        item = mb.take(timeout=1.0)
+        if item is None:
+            break
+        ts.append(item[0])
+    assert f.stop() == 100
+    # consumed timestamps strictly increase across loop boundaries
+    assert all(b > a for a, b in zip(ts, ts[1:]))
+    assert ts[-1] > frames[-1].t        # later loops offset past the log
+    # the regression: after >> capacity pushes of a LOOPED log, the last
+    # fed frame's pose lookup starved (buffer held only max-t duplicates)
+    assert pb.lookup(ts[-1]) is not None
+
+
+def test_python_feeder_loops_monotonic_time(tmp_path):
+    """The Python fallback feeder applies the same per-loop offset."""
+    from pointcloud_segmentation_tpu.config import default_config
+    from pointcloud_segmentation_tpu.runtime.engine import SegmentationEngine
+    from pointcloud_segmentation_tpu.runtime.posebuffer import PoseBuffer
+    from pointcloud_segmentation_tpu.runtime.mailbox import LatestWinsMailbox
+
+    frames = make_frames(4, 8, seed=4)
+    p = str(tmp_path / "loop_py.pcsl")
+    save_frames(p, frames)
+    cfg = default_config(granularity=2)
+    eng = SegmentationEngine(cfg, backend="oracle")
+    # force the Python fallback pair regardless of native availability
+    eng.poses = PoseBuffer(capacity=12)
+    eng.mailbox = LatestWinsMailbox()
+    stats = eng.run_streaming_from_log(p, rate_hz=500.0, loops=10)
+    assert stats["fed"] == 40
+    # with a monotonic feed the tiny pose buffer never starves: every
+    # fed frame is either processed or latest-wins dropped, none skipped
+    assert eng.frames_skipped_no_pose == 0
+    assert stats["processed"] + stats["dropped"] == 40
+
+
+@needs_native
 def test_engine_run_streaming_from_log(tmp_path):
     """End-to-end: native feeder -> native mailbox/pose buffer -> engine
     consumer thread -> world map + CSVs, on the oracle backend."""

@@ -104,7 +104,9 @@ def main() -> int:
         last_proc, last_drop, last_t = proc, drop, now
         c = windows[-1]
         print(f"window {len(windows)}: {c['processed_per_sec']:.1f} proc/s "
-              f"drops={c['drop_fraction']:.1%} rss={c['rss_mb']:.0f} MB",
+              f"drops={c['drop_fraction']:.1%} rss={c['rss_mb']:.0f} MB "
+              f"skip={eng.frames_skipped_no_pose} "
+              f"resets={eng.journal_resets}",
               flush=True)
     n_segs = len(eng.world_segments())
 
@@ -130,6 +132,8 @@ def main() -> int:
             result.get("dropped", 0) / max(result.get("fed", 1), 1), 4),
         "rss_mb_first_window": rss_first, "rss_mb_last": rss_last,
         "world_segments_final": n_segs,
+        "skipped_no_pose": eng.frames_skipped_no_pose,
+        "journal_resets": eng.journal_resets,
         "degraded": degraded, "leaked": leaked,
     }
     print(json.dumps(summary), flush=True)
