@@ -240,7 +240,6 @@ class SegmentationEngine:
         self.journal_resets = 0          # completed journal resets
         self._last_reset_processed = 0   # frames_processed at the last one
         self._state_pack = None          # (pack, unpack) jitted pair
-        self._flusher_busy = False
 
     def _make_mailbox(self):
         """Prefer the native (C++) latest-wins mailbox; fall back to Python."""
@@ -868,10 +867,9 @@ class SegmentationEngine:
     def _flusher_loop(self) -> None:
         while True:
             item = self._flush_q.get()
-            if item is None:
-                return
-            self._flusher_busy = True
             try:
+                if item is None:
+                    return
                 # Start the blocking read only in a worker-idle window (see
                 # _worker_idle) — a read against a continuously-fed device
                 # queue drags for seconds and slows the steps it overlaps.
@@ -886,7 +884,13 @@ class SegmentationEngine:
                     logger.exception("flush backfill failed; records keep "
                                      "their -1 sentinels for this batch")
             finally:
-                self._flusher_busy = False
+                # task_done AFTER the read completes: unfinished_tasks is the
+                # drain condition in _maybe_journal_reset, and unlike an
+                # empty()+busy-flag check it has no window between get()
+                # returning and the read starting in which a drain could
+                # falsely conclude the stacked device handle is no longer
+                # in use (a reset there would kill the buffer mid-read).
+                self._flush_q.task_done()
 
     # ------------------------------------------------------- journal reset
 
@@ -939,13 +943,15 @@ class SegmentationEngine:
                 except Exception:
                     logger.exception("pre-reset flush failed; reset skipped")
                     return
-            # Drain the flusher: it only receives work from this thread,
-            # so empty-queue + not-busy cannot regress once observed.
+            # Drain the flusher: it only receives work from this thread, so
+            # unfinished_tasks (decremented via task_done AFTER each read
+            # finishes) cannot regress once observed at zero.  empty()+a
+            # busy flag had a TOCTOU hole between get() returning and the
+            # flag being raised.
             self._worker_idle.set()     # let its idle-gated read start
-            while self._running and (not self._flush_q.empty()
-                                     or self._flusher_busy):
+            while self._running and self._flush_q.unfinished_tasks:
                 time.sleep(0.002)
-            if not self._flush_q.empty() or self._flusher_busy:
+            if self._flush_q.unfinished_tasks:
                 return                  # stopping mid-drain: stop() handles it
         if not self._running:
             return
