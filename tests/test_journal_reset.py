@@ -172,6 +172,80 @@ def test_streaming_cadence_reset(frames, monkeypatch):
     _assert_state_bit_equal(ref._state, eng._state)
 
 
+def test_cadence_reset_waits_for_inflight_readback(frames, monkeypatch):
+    """Regression: the pre-reset drain must treat a DEQUEUED-but-unread
+    flush batch as in-flight.  A reset in that window kills the stacked
+    device handle mid-read on the relay.  The old empty()+busy-flag check
+    had exactly that hole (busy rose only after get() returned); the
+    task_done()-based drain does not.  Exposed deterministically by making
+    every dequeue linger before returning: during the linger the queue is
+    empty and no read has started, yet the batch is live."""
+    state = {"dequeued_unread": 0, "violations": 0}
+
+    def fake_reset():
+        if state["dequeued_unread"] > 0:
+            state["violations"] += 1
+        return True
+
+    monkeypatch.setattr(relay, "journal_reset", fake_reset)
+
+    eng = SegmentationEngine(CFG, backend="jax", stream_sync_every=2,
+                             journal_reset_every=4)
+    assert eng._stream_deferred
+    eng.start()
+    try:
+        orig_get = eng._flush_q.get
+        counted = set()     # batches whose dequeue went through the patch
+
+        def lingering_get(*a, **k):
+            item = orig_get(*a, **k)
+            if item is not None:
+                counted.add(id(item[0]))
+                state["dequeued_unread"] += 1
+                time.sleep(0.4)     # the danger window, held open
+            return item
+
+        orig_backfill = eng._backfill_batch
+
+        def counted_backfill(batch, stacked):
+            try:
+                orig_backfill(batch, stacked)
+            finally:
+                # the flusher may already be parked inside the ORIGINAL
+                # get when the patch lands — that first batch's dequeue is
+                # uncounted, so only decrement for counted dequeues (an
+                # unpaired decrement would park the counter at -1)
+                if id(batch) in counted:
+                    counted.remove(id(batch))
+                    state["dequeued_unread"] -= 1
+
+        # the flusher is parked inside the ORIGINAL get for its first
+        # batch; every later dequeue (incl. the one racing the cadence
+        # reset) takes the lingering path
+        eng._flush_q.get = lingering_get
+        eng._backfill_batch = counted_backfill
+
+        for fr in frames:
+            target = (eng.frames_processed + eng.frames_skipped_no_pose
+                      + eng.frames_failed + 1)
+            eng.push_pose(fr.t, fr.position, fr.quat_wxyz)
+            eng.submit_cloud(fr.t, fr.points)
+            deadline = time.time() + 60
+            while (eng.frames_processed + eng.frames_skipped_no_pose
+                   + eng.frames_failed) < target and time.time() < deadline:
+                time.sleep(0.002)
+        deadline = time.time() + 20
+        while eng.journal_resets < 1 and time.time() < deadline:
+            time.sleep(0.01)
+    finally:
+        eng.stop()
+    assert eng.journal_resets >= 1
+    assert state["violations"] == 0
+    assert state["dequeued_unread"] == 0
+    assert all(r["seg_vec_size"] >= 0 and r["nblines"] >= 0
+               for r in eng.records)
+
+
 def test_journal_reset_rejected_while_running(frames, monkeypatch):
     monkeypatch.setattr(relay, "journal_reset", lambda: True)
     eng = SegmentationEngine(CFG, backend="jax", journal_reset_every=0)
