@@ -411,11 +411,17 @@ def main():
         log(f"details -> {path}")
 
     vs = tpu["clouds_per_sec"] / cpu["clouds_per_sec"]
+    # device_ms_per_frame contextualizes the rate: the shared testbed chip's
+    # service rate swings ~6.5 <-> ~27 ms/frame with NEIGHBOR load
+    # (tools/chip_weather.py; docs/PERF.md).  A run recorded far above the
+    # quiet-chip floor reflects chip weather, not a code regression.
     print(json.dumps({
         "metric": "clouds_per_sec_per_chip_full_node_loop",
         "value": round(tpu["clouds_per_sec"], 2),
         "unit": "clouds/s",
         "vs_baseline": round(vs, 2),
+        "device_ms_per_frame": round(tpu["device_ms_per_frame"], 2),
+        "quiet_chip_device_ms_ref": 6.5,
     }))
 
 
