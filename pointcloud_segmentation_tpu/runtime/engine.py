@@ -1164,7 +1164,8 @@ class SegmentationEngine:
         dropped = max(int(fed) - processed - skipped - failed,
                       int(self.dropped_frames - base_dropped))
         return {"fed": int(fed), "processed": processed,
-                "dropped": dropped}
+                "dropped": dropped,
+                "journal_resets": int(self.journal_resets)}
 
     @property
     def dropped_frames(self) -> int:
