@@ -99,6 +99,14 @@ def _frames(args):
     from .io.scene import trajectory_poses, load_waypoints_csv
     from .io.simulator import simulate_trajectory, TofSpec
 
+    if getattr(args, "bag", None):
+        from .io.rosbag import bag_to_frames
+
+        # recorded ROS1 data (the reference's /tof_pc + pose topics,
+        # node.cpp:64-67) — poses associated via the TF2-analog buffer
+        frames = bag_to_frames(args.bag)
+        return frames[: args.max_frames] if getattr(args, "max_frames", 0) \
+            else frames
     if getattr(args, "replay", None):
         from .io.replay import load_frames
 
@@ -190,6 +198,7 @@ def cmd_stream(args) -> int:
     eng = SegmentationEngine(
         cfg, backend=args.backend, viz_stream=args.viz_stream,
         viz_points=args.viz_points or args.viz_world_points,
+        viz_every_frame=args.viz_every_frame,
         collect_inlier_points=args.viz_world_points)
     stats = eng.run_streaming_from_log(args.log, rate_hz=args.rate,
                                        loops=args.loops)
@@ -214,7 +223,8 @@ def cmd_serve(args) -> int:
 
     cfg = _build_cfg(args)
     eng = SegmentationEngine(cfg, backend=args.backend,
-                             viz_stream=args.viz_stream)
+                             viz_stream=args.viz_stream,
+                             viz_every_frame=args.viz_every_frame)
     srv = SegmentationServer(eng, host=args.host, port=args.port,
                              outdir=args.out or cfg.path_to_output)
     print(f"serving on {srv.host}:{srv.port}", flush=True)
@@ -334,6 +344,10 @@ def main(argv=None) -> int:
                     choices=["obs_tests", "dev", "tower", "mockup"],
                     help="simulated world + default flight pattern")
     pr.add_argument("--replay", help="replay a recorded .pcsl frame log")
+    pr.add_argument("--bag", help="replay a recorded ROS1 .bag "
+                                  "(sensor_msgs/PointCloud2 + pose topic — "
+                                  "the reference's rosbag recordings, read "
+                                  "without a ROS install)")
     pr.add_argument("--wbt", help="Webots world file: fly the simulated "
                                   "trajectory against its DEF SEGn cylinders "
                                   "(e.g. the reference's obs_tests world)")
@@ -368,6 +382,8 @@ def main(argv=None) -> int:
     pc.add_argument("log", help="output .pcsl path")
     pc.add_argument("--scene", default="obs_tests",
                     choices=["obs_tests", "dev", "tower", "mockup"])
+    pc.add_argument("--bag", help="convert a recorded ROS1 .bag into the "
+                                  ".pcsl log instead of simulating")
     pc.add_argument("--wbt", help="Webots world file (see run --wbt)")
     pc.add_argument("--waypoints")
     pc.add_argument("--hz", type=float, default=4.0)
@@ -385,8 +401,19 @@ def main(argv=None) -> int:
     ps.add_argument("--rate", type=float, default=30.0,
                     help="feed rate in Hz (0 = as fast as possible)")
     ps.add_argument("--loops", type=int, default=1)
-    ps.add_argument("--viz-stream", default=None, metavar="JSONL")
-    ps.add_argument("--viz-points", action="store_true")
+    ps.add_argument("--viz-stream", default=None, metavar="JSONL",
+                    help="live marker stream; emitted at flush cadence "
+                         "from the deferred fast path (full streaming "
+                         "throughput — watch with `pcs-tpu viz <JSONL> "
+                         "--follow`)")
+    ps.add_argument("--viz-every-frame", action="store_true",
+                    help="one viz record per processed frame instead of "
+                         "per readback batch (forces the synchronous "
+                         "per-frame path: 3-4x lower throughput through "
+                         "the relay)")
+    ps.add_argument("--viz-points", action="store_true",
+                    help="see `run --viz-points` (implies "
+                         "--viz-every-frame)")
     ps.add_argument("--viz-world-points", action="store_true",
                     help="see `run --viz-world-points`")
     ps.set_defaults(fn=cmd_stream)
@@ -398,11 +425,14 @@ def main(argv=None) -> int:
     px.add_argument("--port", type=int, default=0,
                     help="TCP port (0 = ephemeral, printed at startup)")
     px.add_argument("--viz-stream", default=None, metavar="JSONL",
-                    help="also write the per-frame marker stream; pair "
-                         "with `pcs-tpu viz <JSONL> --follow` in another "
+                    help="also write the live marker stream; pair with "
+                         "`pcs-tpu viz <JSONL> --follow` in another "
                          "terminal to watch the serve session live "
-                         "(NOTE: per-frame viz forces the synchronous "
-                         "streaming path — off the max-throughput path)")
+                         "(emitted at flush cadence from the deferred "
+                         "fast path; --viz-every-frame for per-frame "
+                         "records at synchronous-path throughput)")
+    px.add_argument("--viz-every-frame", action="store_true",
+                    help="see `stream --viz-every-frame`")
     px.set_defaults(fn=cmd_serve)
 
     pe = sub.add_parser("eval", help="ground-truth accuracy of a segments.csv")

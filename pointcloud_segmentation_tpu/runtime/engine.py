@@ -91,6 +91,7 @@ class SegmentationEngine:
                  checkpoint_path: Optional[str] = None,
                  viz_stream: Optional[object] = None,
                  viz_points: bool = False,
+                 viz_every_frame: bool = False,
                  stream_sync_every: int = 64,
                  journal_reset_every: Optional[int] = None):
         """viz_stream: per-frame visualization feed (the RViz re-publish
@@ -109,6 +110,19 @@ class SegmentationEngine:
         per-frame contribution).  Costs extra device->host readbacks per
         frame; viz-only, off the perf path.
 
+        viz_every_frame: streaming-mode viz fidelity knob.  By default a
+        DEFERRED stream (see stream_sync_every) emits viz records at flush
+        cadence — one record per readback batch, built by the flusher from
+        a single packed world-state snapshot, so watching the map live
+        costs ~one extra relay round-trip per flush instead of collapsing
+        the stream to the synchronous per-frame path (the RViz analog
+        renders while the node runs at full rate, node.cpp:676-842).  Set
+        True to force one viz record per processed frame instead (the
+        synchronous path; 3-4x lower streaming throughput through the
+        relay).  viz_points implies per-frame mode: the point clouds only
+        exist in the frame's own step output.  Replay/synchronous
+        processing always emits per frame regardless.
+
         stream_sync_every: streaming-mode dispatch pipelining depth.  The
         jit'd step's per-frame scalars cost a full device->host round-trip
         to read (~25 ms through this testbed's relay vs ~6 ms device time
@@ -122,7 +136,9 @@ class SegmentationEngine:
         queueing unboundedly.  Set <= 1 to force the synchronous per-frame
         readback path.  Deferred mode is automatically disabled when
         per-frame host work needs the frame's own values or state
-        (viz_stream, collect_inlier_points, verbose_level > 0).
+        (viz_every_frame/viz_points, collect_inlier_points,
+        verbose_level > 0); a plain viz_stream stays deferred and emits at
+        flush cadence (see viz_every_frame).
 
         journal_reset_every: axon-relay host-RSS bound (frames).  The relay
         client journals every operation — transfer payloads included — for
@@ -150,6 +166,7 @@ class SegmentationEngine:
         self._inlier_points: dict[int, list[np.ndarray]] = {}
         self._viz_stream = viz_stream
         self._viz_points = viz_points
+        self._viz_every_frame = bool(viz_every_frame or viz_points)
         self._frame_points: Optional[dict] = None
         self._viz_file = None
         self._viz_file_opened = False  # first open truncates, reopens append
@@ -162,8 +179,11 @@ class SegmentationEngine:
         self._last_checkpoint_k = 0
         self._stream_deferred = (
             backend == "jax" and stream_sync_every > 1
-            and not collect_inlier_points and viz_stream is None
+            and not collect_inlier_points
+            and not (viz_stream is not None and self._viz_every_frame)
             and cfg.verbose_level == VERBOSE_NONE)
+        # flush-cadence live viz: deferred streaming + a viz stream
+        self._viz_flush = (self._stream_deferred and viz_stream is not None)
         # Guards self._state against the donation race: each jitted step
         # DONATES the world-state buffer, so a reader (world_segments /
         # intersections / checkpoint, e.g. a server thread answering a
@@ -240,6 +260,7 @@ class SegmentationEngine:
         self.journal_resets = 0          # completed journal resets
         self._last_reset_processed = 0   # frames_processed at the last one
         self._state_pack = None          # (pack, unpack) jitted pair
+        self._state_unpack_host = None   # numpy twin (flush-cadence viz)
 
     def _make_mailbox(self):
         """Prefer the native (C++) latest-wins mailbox; fall back to Python."""
@@ -401,6 +422,13 @@ class SegmentationEngine:
                 rec["hough_points"] = np.round(
                     self._frame_points["hough"][:cap], 4).tolist()
             self._frame_points = None
+        self._write_viz_record(rec)
+
+    def _write_viz_record(self, rec: dict) -> None:
+        """Deliver one viz record (callable feed or JSONL append).  Single
+        writer by construction: the worker thread in synchronous/replay
+        mode, the flusher thread in deferred-streaming mode — never both
+        (``_viz_flush`` and the per-frame path are mutually exclusive)."""
         if callable(self._viz_stream):
             self._viz_stream(rec)
             return
@@ -705,9 +733,11 @@ class SegmentationEngine:
             with self._state_lock, self._read_lock:
                 _ = np.asarray(jnp.stack([z] * self.stream_sync_every))
             self._flush_warmed = True
-        if self.journal_reset_every and self.backend == "jax":
-            # same reasoning: the packed snapshot pair must not compile
-            # mid-stream at the first cadence crossing
+        if ((self.journal_reset_every or self._viz_flush)
+                and self.backend == "jax"):
+            # same reasoning: the packed snapshot pair (journal resets AND
+            # flush-cadence viz use it) must not compile mid-stream at the
+            # first cadence crossing
             self._ensure_state_packer()
         if getattr(self, "_mailbox_closed", False):
             # carry the old mailbox's drop count so dropped_frames stays
@@ -801,8 +831,12 @@ class SegmentationEngine:
         self.records.append(rec)
         if not self._pending:
             self._pending_t0 = end      # oldest-pending age for idle flush
-        self._pending.append((rec, scalars))
         self.frames_processed += 1
+        # meta rides along only for flush-cadence viz (the flusher stamps
+        # its record with the batch's newest frame/pose)
+        meta = ((self.frames_processed, t, position, quat)
+                if self._viz_flush else None)
+        self._pending.append((rec, scalars, meta))
         return True
 
     def _flush_pending(self) -> None:
@@ -817,7 +851,7 @@ class SegmentationEngine:
         jnp = self._jnp
         batch = self._pending
         self._pending = []
-        handles = [s for _, s in batch]
+        handles = [s for _, s, _ in batch]
         # Pad to the FIXED pipeline depth before stacking: every distinct
         # stack length is a distinct XLA program, and on the axon relay each
         # new shape is a REMOTE compile costing seconds — a varying-k stack
@@ -829,19 +863,20 @@ class SegmentationEngine:
             stacked = jnp.stack(handles)        # always (K, 4) int32
         self._flush_q.put((batch, stacked))
 
-    def _backfill_batch(self, batch, stacked) -> None:
+    def _backfill_batch(self, batch, stacked) -> np.ndarray:
         """Flusher-thread half of a flush: ONE batched device->host
         readback backfills every record truthfully.  The sync time is
         folded into the batch's last processing_time, keeping the
         pipelined-replay convention that summed processing_time accounts
         for the readback cost (the read now OVERLAPS dispatches — it is an
-        accounting entry, not a pipeline stall).  D-CAP accounting exact."""
+        accounting entry, not a pipeline stall).  D-CAP accounting exact.
+        Returns the (k, 4) scalar rows (flush-cadence viz reuses them)."""
         k = len(batch)
         t0 = self._now()
         with self._read_lock:                   # the ONLY concurrent read
             vals = np.asarray(stacked)[:k]      # single sync
         sync_us = (self._now() - t0) * 1e6
-        for (rec, _), row in zip(batch, vals):
+        for (rec, _, _), row in zip(batch, vals):
             rec["seg_vec_size"] = int(row[0])
             rec["nblines"] = max(int(row[1]), 0)
         batch[-1][0]["processing_time"] += sync_us
@@ -863,6 +898,7 @@ class SegmentationEngine:
             if k > self._last_checkpoint_k:
                 self._last_checkpoint_k = k
                 self.save_checkpoint(self.checkpoint_path)
+        return vals
 
     def _flusher_loop(self) -> None:
         while True:
@@ -879,7 +915,12 @@ class SegmentationEngine:
                         and not self._worker_idle.wait(timeout=0.05)):
                     pass
                 try:
-                    self._backfill_batch(*item)
+                    vals = self._backfill_batch(*item)
+                    if self._viz_flush:
+                        # BEFORE task_done: the viz snapshot's device
+                        # handle must be consumed while the journal-reset
+                        # drain still counts this task as in flight
+                        self._emit_viz_flush(item[0], vals)
                 except Exception:
                     logger.exception("flush backfill failed; records keep "
                                      "their -1 sentinels for this batch")
@@ -892,6 +933,72 @@ class SegmentationEngine:
                 # in use (a reset there would kill the buffer mid-read).
                 self._flush_q.task_done()
 
+    def _emit_viz_flush(self, batch, vals) -> None:
+        """Flush-cadence live viz (flusher thread): render the CURRENT
+        world map into one viz record without leaving the deferred fast
+        path.  Cost: ONE packed world-state snapshot — a cheap dispatch
+        under _state_lock plus a single batched read under _read_lock, the
+        same cost class as the scalar backfill it rides behind — decoded
+        on host (relay.make_host_unpacker), vs ~9 per-field round-trips
+        for world_snapshot() or a 3-4x throughput collapse for the
+        synchronous per-frame path.  The record carries the batch's NEWEST
+        frame counters/pose, so the follower tracks the map at readback
+        cadence exactly like the reference's RViz view tracks the node
+        (node.cpp:676-842); per-frame fidelity is the viz_every_frame
+        opt-in.  A viz failure must never kill the flusher (the record is
+        telemetry; the backfill already committed)."""
+        try:
+            self._ensure_state_packer()
+            pack, _ = self._state_pack
+            with self._state_lock:
+                handle = pack(self._state)
+            with self._read_lock:
+                vec = np.asarray(handle)       # the one read
+            st = self._state_unpack_host(vec)
+            frame_no, t, position, quat = batch[-1][2]
+            wc, nl, status = (int(v) for v in vals[-1][:3])
+            n = int(st.count)
+            a = np.asarray(st.a, np.float64)[:n]
+            b = np.asarray(st.b, np.float64)[:n]
+            t_min = np.asarray(st.t_min, np.float64)[:n]
+            t_max = np.asarray(st.t_max, np.float64)[:n]
+            radius = np.asarray(st.radius, np.float64)[:n]
+            cylinders = [
+                {"id": i,
+                 "p1": (a[i] + t_min[i] * b[i]).tolist(),
+                 "p2": (a[i] + t_max[i] * b[i]).tolist(),
+                 "radius": float(radius[i])}
+                for i in range(n)]
+            inter = np.asarray(st.inter)[:n, :n]
+            spheres = []
+            for i in range(n):
+                for j in range(i):
+                    t1, t2 = inter[i, j]
+                    if t1 != -1.0 and t2 != -1.0:
+                        spheres.append({
+                            "position": (a[i] + float(t1) * b[i]).tolist(),
+                            "text": f"Intersection: {i} & {j}"})
+            rec = {
+                "frame": int(frame_no),
+                "t": float(t),
+                "nlines": max(nl, 0),
+                "status": status,
+                "world_count": wc,
+                "cylinders": cylinders,
+                "intersections": spheres,
+                # flush-cadence marker: one record summarizes the batch
+                # (frames since the previous record share its world view)
+                "viz_cadence": "flush",
+                "frames_in_batch": len(batch),
+                "drone": {
+                    "position": [float(v) for v in np.asarray(position)],
+                    "quat_wxyz": [float(v) for v in np.asarray(quat)],
+                },
+            }
+            self._write_viz_record(rec)
+        except Exception:
+            logger.exception("flush-cadence viz emit failed; stream continues")
+
     # ------------------------------------------------------- journal reset
 
     def _ensure_state_packer(self) -> None:
@@ -899,9 +1006,10 @@ class SegmentationEngine:
         compile; done at start() so no stream pays it mid-flight)."""
         if self._state_pack is not None or self.backend != "jax":
             return
-        from .relay import make_pytree_packer
+        from .relay import make_host_unpacker, make_pytree_packer
 
         with self._state_lock, self._read_lock:
+            self._state_unpack_host = make_host_unpacker(self._state)
             self._state_pack = make_pytree_packer(self._state)
             pack, unpack = self._state_pack
             # compile both programs now (the dummy round-trip result is
@@ -1101,7 +1209,7 @@ class SegmentationEngine:
 
         With the native runtime, the feeder is a C++ thread (GIL-free);
         otherwise a Python pacing thread replays the same log.  Returns
-        ``{"fed": n, "processed": n, "dropped": n}``.
+        ``{"fed": n, "processed": n, "dropped": n, "journal_resets": n}``.
         """
         import time as _time
 

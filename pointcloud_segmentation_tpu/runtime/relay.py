@@ -154,3 +154,42 @@ def make_pytree_packer(tree) -> Tuple[Callable, Callable]:
         return jax.tree_util.tree_unflatten(treedef, out)
 
     return pack, unpack
+
+
+def make_host_unpacker(tree) -> Callable:
+    """Numpy twin of ``make_pytree_packer``'s ``unpack``: decode the packed
+    uint32 snapshot entirely on HOST — zero device dispatches or reads.
+
+    The deferred-streaming flusher uses this to render flush-cadence live
+    viz from the SAME single packed read that costs one relay round-trip
+    (runtime/engine._emit_viz_flush); dispatching the jitted ``unpack``
+    plus per-field reads would cost ~9 round-trips per record instead.
+    Bit-exactness vs the device unpack (word pairing for 8-byte dtypes
+    included) is pinned by tests/test_journal_reset.py."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    specs = [(tuple(l.shape), np.dtype(l.dtype)) for l in leaves]
+
+    def unpack_host(vec: np.ndarray):
+        vec = np.ascontiguousarray(np.asarray(vec, dtype=np.uint32))
+        out, off = [], 0
+        for shape, dt in specs:
+            n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+            w = n * 2 if dt.itemsize == 8 else n
+            chunk = np.ascontiguousarray(vec[off:off + w])
+            off += w
+            if dt == np.bool_:
+                leaf = chunk.astype(np.bool_)
+            elif dt.itemsize == 8:
+                # (n, 2) uint32 -> raw bytes -> dt: little-endian word order
+                # matches jax.lax.bitcast_convert_type's minor-dim layout
+                leaf = chunk.reshape(n, 2).view(dt).ravel()
+            elif dt.itemsize == 4:
+                leaf = chunk.view(dt)
+            else:
+                leaf = chunk.astype(dt)
+            out.append(leaf.reshape(shape))
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return unpack_host

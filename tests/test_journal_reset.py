@@ -110,6 +110,39 @@ def test_packer_roundtrip_f64():
                 np.testing.assert_array_equal(xa, ya, err_msg=name)
 
 
+def test_host_unpacker_bit_exact():
+    """relay.make_host_unpacker (flush-cadence viz decode) must agree with
+    the device unpack bit-for-bit, adversarial float patterns included."""
+    st = _rand_state(CFG)
+    pack, _ = relay.make_pytree_packer(st)
+    unpack_host = relay.make_host_unpacker(st)
+    back = unpack_host(np.asarray(pack(st)))
+    assert all(isinstance(np.asarray(getattr(back, n)), np.ndarray)
+               for n in WorldState._fields)
+    _assert_state_bit_equal(st, back)
+
+
+def test_host_unpacker_f64_word_pairing():
+    """8-byte leaves ride 2 uint32 words each; the host view() decode must
+    pair them exactly like jax.lax.bitcast_convert_type's minor-dim layout."""
+    with jax.enable_x64(True):
+        st = init_world(CFG, dtype=jnp.float64)
+        st = st._replace(
+            a=st.a.at[0, 0].set(-0.0),
+            t_min=st.t_min.at[1].set(np.nextafter(np.float64(1.0), 2.0)))
+        pack, _ = relay.make_pytree_packer(st)
+        back = relay.make_host_unpacker(st)(np.asarray(pack(st)))
+        for name in WorldState._fields:
+            xa, ya = np.asarray(getattr(st, name)), np.asarray(
+                getattr(back, name))
+            assert xa.dtype == ya.dtype, name
+            if xa.dtype.kind == "f":
+                np.testing.assert_array_equal(
+                    xa.view(np.uint64), ya.view(np.uint64), err_msg=name)
+            else:
+                np.testing.assert_array_equal(xa, ya, err_msg=name)
+
+
 def test_manual_journal_reset_state_identical(frames, monkeypatch):
     """journal_reset() between replay frames must be invisible: identical
     world map (bit-exact) and identical remaining-frame results versus an

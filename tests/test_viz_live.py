@@ -14,6 +14,7 @@ import os
 import urllib.request
 
 import numpy as np
+import pytest
 
 from pointcloud_segmentation_tpu.config import default_config, StaticShapes
 from pointcloud_segmentation_tpu.runtime import SegmentationEngine
@@ -136,6 +137,82 @@ def test_serve_session_watched_live(tmp_path):
     finally:
         watcher.shutdown()
         srv.stop()
+
+
+def test_deferred_stream_viz_flush_cadence():
+    """A viz stream must NOT kick a deferred stream back to the synchronous
+    per-frame path (that cost 3-4x throughput on the relay): the flusher
+    emits flush-cadence records built from one packed state snapshot, and
+    their geometry matches the engine's own world map."""
+    import time
+
+    poses = trajectory_poses(WP_TESTS, hz=1.0, velocity=0.4)[:6]
+    frames = simulate_trajectory(OBS_TESTS_SCENE, poses,
+                                 TofSpec(noise_frac=0.002), seed=1)
+    got = []
+    eng = SegmentationEngine(CFG, backend="jax", viz_stream=got.append,
+                             stream_sync_every=3)
+    assert eng._stream_deferred          # the point of the feature
+    assert eng._viz_flush
+    eng.start()
+    for fr in frames:
+        target = (eng.frames_processed + eng.frames_skipped_no_pose
+                  + eng.frames_failed + 1)
+        eng.push_pose(fr.t, fr.position, fr.quat_wxyz)
+        eng.submit_cloud(fr.t, fr.points)
+        deadline = time.time() + 60
+        while (eng.frames_processed + eng.frames_skipped_no_pose
+               + eng.frames_failed) < target and time.time() < deadline:
+            time.sleep(0.002)
+    eng.stop()
+    assert eng.frames_processed == len(frames)
+    assert got, "flush-cadence stream produced no viz records"
+    assert all(r["viz_cadence"] == "flush" for r in got)
+    # batches cover every frame; records are in stream order
+    assert sum(r["frames_in_batch"] for r in got) == len(frames)
+    fnos = [r["frame"] for r in got]
+    assert fnos == sorted(fnos) and fnos[-1] == len(frames)
+    # the last record's geometry IS the engine's world map
+    last = got[-1]
+    segs = eng.world_segments()
+    assert last["world_count"] == len(segs)
+    assert len(last["cylinders"]) == len(segs)
+    for c, s in zip(last["cylinders"], segs):
+        np.testing.assert_allclose(
+            c["p1"], np.asarray(s["a"]) + s["t_min"] * np.asarray(s["b"]),
+            atol=1e-6)
+        assert c["radius"] == pytest.approx(s["radius"])
+    assert len(last["intersections"]) == len(eng.intersections_rows())
+    # the player HUD contract (viz.py) — every key it renders is present
+    for r in got:
+        for key in ("frame", "t", "nlines", "status", "world_count",
+                    "cylinders", "intersections", "drone"):
+            assert key in r, key
+
+
+def test_viz_every_frame_forces_per_frame_records():
+    """The opt-in fidelity knob: viz_every_frame disables the deferred path
+    and emits one record per processed frame (the pre-round-4 behavior)."""
+    import time
+
+    poses = trajectory_poses(WP_TESTS, hz=1.0, velocity=0.4)[:3]
+    frames = simulate_trajectory(OBS_TESTS_SCENE, poses,
+                                 TofSpec(noise_frac=0.002), seed=1)
+    got = []
+    eng = SegmentationEngine(CFG, backend="jax", viz_stream=got.append,
+                             viz_every_frame=True, stream_sync_every=3)
+    assert not eng._stream_deferred
+    eng.start()
+    for fr in frames:
+        target = eng.frames_processed + 1
+        eng.push_pose(fr.t, fr.position, fr.quat_wxyz)
+        eng.submit_cloud(fr.t, fr.points)
+        deadline = time.time() + 60
+        while eng.frames_processed < target and time.time() < deadline:
+            time.sleep(0.002)
+    eng.stop()
+    assert len(got) == len(frames)
+    assert all("viz_cadence" not in r for r in got)
 
 
 def test_viz_world_accumulated_hough_points():
