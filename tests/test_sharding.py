@@ -144,6 +144,40 @@ def test_dir_sharding_lazy_voting_parity():
                                   np.asarray(r2[0].points_size)[v2])
 
 
+def test_dir_sharding_lazy_voting_parity_g6_full_table():
+    """The dir-sharded lazy path at the REAL granularity-6 table (20,481
+    directions, the reference's shipped config — hough.h:192's
+    num_directions[6]): per-shard suspect tiers (s_tier/s_cap engage only
+    when B/shard exceeds them), direction-tile padding, and the cross-shard
+    M_lb pmax (ops/hough.py) are all exercised at production size — every
+    earlier sharding test ran granularity 1 (21 directions), which engages
+    none of them.  Results must equal the unsharded carry extraction."""
+    # floor_trim_height=0: the default 0.3 floor cut invalidates every
+    # accepted line of this low trajectory at g6 (probe-verified), which
+    # would let the parity assert pass vacuously on empty masks
+    cfg6 = default_config(
+        granularity=6, floor_trim_height=0.0,
+        shapes=StaticShapes(max_raw_points=1024, max_points=512,
+                            max_world_segments=16))
+    frames, clouds, poss, quats = make_frames(2, cfg6)
+    m1 = make_mesh(n_batch=2, n_dir=1)
+    m2 = make_mesh(n_batch=2, n_dir=4)
+    r1 = make_batched_extract(cfg6.replace(voting="carry"), m1)(
+        jnp.asarray(clouds), jnp.asarray(poss), jnp.asarray(quats))
+    r2 = make_batched_extract(cfg6.replace(voting="lazy"), m2)(
+        jnp.asarray(clouds), jnp.asarray(poss), jnp.asarray(quats))
+    v1, v2 = np.asarray(r1[0].valid), np.asarray(r2[0].valid)
+    assert v1.any(), "scene must extract at least one line at g6"
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_allclose(np.asarray(r1[0].a)[v1],
+                               np.asarray(r2[0].a)[v2], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1[0].b)[v1],
+                               np.asarray(r2[0].b)[v2], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(r1[0].points_size)[v1],
+                                  np.asarray(r2[0].points_size)[v2])
+    np.testing.assert_array_equal(np.asarray(r1[1]), np.asarray(r2[1]))
+
+
 def test_global_argmax_winner_no_int32_overflow():
     """Cross-shard winner decode must be exact where a flat
     b*cells+cell int32 key would wrap negative (B_total*num_x^2 > 2^31,

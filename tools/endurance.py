@@ -135,6 +135,9 @@ def main() -> int:
         "skipped_no_pose": eng.frames_skipped_no_pose,
         "journal_resets": eng.journal_resets,
         "degraded": degraded, "leaked": leaked,
+        # per-window samples (the committed-artifact form: one JSON carries
+        # the whole soak — trend inspection without re-running)
+        "windows_detail": windows,
     }
     print(json.dumps(summary), flush=True)
     return 1 if (degraded or leaked) else 0
