@@ -344,10 +344,11 @@ def main(argv=None) -> int:
                     choices=["obs_tests", "dev", "tower", "mockup"],
                     help="simulated world + default flight pattern")
     pr.add_argument("--replay", help="replay a recorded .pcsl frame log")
-    pr.add_argument("--bag", help="replay a recorded ROS1 .bag "
-                                  "(sensor_msgs/PointCloud2 + pose topic — "
-                                  "the reference's rosbag recordings, read "
-                                  "without a ROS install)")
+    pr.add_argument("--bag", help="replay a recorded ROS1 .bag or ROS2 "
+                                  ".mcap (sensor_msgs/PointCloud2 + pose "
+                                  "topic — the reference's rosbag "
+                                  "recordings, read without a ROS install; "
+                                  "container auto-detected)")
     pr.add_argument("--wbt", help="Webots world file: fly the simulated "
                                   "trajectory against its DEF SEGn cylinders "
                                   "(e.g. the reference's obs_tests world)")
@@ -382,8 +383,9 @@ def main(argv=None) -> int:
     pc.add_argument("log", help="output .pcsl path")
     pc.add_argument("--scene", default="obs_tests",
                     choices=["obs_tests", "dev", "tower", "mockup"])
-    pc.add_argument("--bag", help="convert a recorded ROS1 .bag into the "
-                                  ".pcsl log instead of simulating")
+    pc.add_argument("--bag", help="convert a recorded ROS1 .bag / ROS2 "
+                                  ".mcap into the .pcsl log instead of "
+                                  "simulating")
     pc.add_argument("--wbt", help="Webots world file (see run --wbt)")
     pc.add_argument("--waypoints")
     pc.add_argument("--hz", type=float, default=4.0)

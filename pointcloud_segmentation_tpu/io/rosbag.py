@@ -267,13 +267,20 @@ def read_bag(path: str, cloud_topic: Optional[str] = None,
              pose_topic: Optional[str] = None,
              ) -> Tuple[List[Tuple[float, np.ndarray]],
                         List[Tuple[float, np.ndarray, np.ndarray]]]:
-    """Extract (clouds, poses) from a bag.
+    """Extract (clouds, poses) from a recorded bag — ROS1 v2.0 or MCAP
+    (ROS2), dispatched on the file magic.
 
     clouds: [(t, (N, 3) float32 xyz)];  poses: [(t, position, quat_wxyz)].
     Topics default to ANY topic of the matching type (`/tof_pc` and the
     mocap/mavros pose in the reference's recordings); timestamps are the
     message header stamps (the value TF association uses), falling back to
     the bag record time when a producer left the stamp zero."""
+    from . import mcap
+
+    with open(path, "rb") as f:
+        head = f.read(len(mcap.MAGIC))
+    if head == mcap.MAGIC:
+        return mcap.read_bag_mcap(path, cloud_topic, pose_topic)
     clouds: List[Tuple[float, np.ndarray]] = []
     poses: List[Tuple[float, np.ndarray, np.ndarray]] = []
     for topic, mtype, rec_t, raw in read_messages(path):
@@ -288,11 +295,11 @@ def read_bag(path: str, cloud_topic: Optional[str] = None,
 
 def bag_to_frames(path: str, cloud_topic: Optional[str] = None,
                   pose_topic: Optional[str] = None) -> List[Frame]:
-    """Bag -> engine-replayable Frames: every cloud is paired with the
-    pose interpolated at its timestamp through the SAME TF2-analog buffer
-    the live runtime uses (slerp + 1 s timeout, runtime/posebuffer.py —
-    node.cpp:357-376 semantics).  Clouds with no pose in range are skipped
-    with a warning (D-POSE: skip, not die)."""
+    """Bag (ROS1 .bag or ROS2 .mcap) -> engine-replayable Frames: every
+    cloud is paired with the pose interpolated at its timestamp through
+    the SAME TF2-analog buffer the live runtime uses (slerp + 1 s timeout,
+    runtime/posebuffer.py — node.cpp:357-376 semantics).  Clouds with no
+    pose in range are skipped with a warning (D-POSE: skip, not die)."""
     from ..runtime.posebuffer import PoseBuffer
 
     clouds, poses = read_bag(path, cloud_topic, pose_topic)

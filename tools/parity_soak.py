@@ -137,6 +137,9 @@ def run_pair(seed: int) -> list:
 
     rng = np.random.default_rng(seed)
     cfg = random_cfg(rng)
+    print(f"seed {seed} cfg: g{cfg.granularity} radii={cfg.radius_sizes} "
+          f"nlines={cfg.opt_nlines} minvotes={cfg.opt_minvotes} "
+          f"voting={cfg.voting_mode}", flush=True)
     # beams at ANY drawn radius (not always the smallest): multi-radius
     # configs must exercise radius matching against every table entry
     scene = simple_scene(n_beams=int(rng.integers(2, 6)),
