@@ -316,6 +316,41 @@ def bench_streaming(cfg, frames, rates=(30.0, 100.0, 200.0), loops=3):
     return out
 
 
+def bench_streaming_viz(cfg, frames, rate=100.0, loops=3):
+    """Flush-cadence live viz cost: the same saturating stream as
+    bench_streaming's 100 Hz row, but with a viz stream attached.  Round 3
+    left live viewing on the synchronous per-frame path (3-4x throughput
+    collapse); the flusher now emits one marker record per readback batch
+    from a single packed-state snapshot, so watching the map live should
+    cost ~one extra relay round-trip per flush — the acceptance bar is
+    >= 90% of the no-viz saturation rate (VERDICT r3 #4)."""
+    import tempfile
+
+    from pointcloud_segmentation_tpu.io.replay import save_frames
+    from pointcloud_segmentation_tpu.runtime.engine import SegmentationEngine
+
+    log_path = os.path.join(tempfile.gettempdir(), "bench_stream.pcsl")
+    save_frames(log_path, frames)
+    viz_path = os.path.join(tempfile.gettempdir(), "bench_viz.jsonl")
+    eng = SegmentationEngine(cfg, viz_stream=viz_path)
+    assert eng._stream_deferred, "viz must not disable the deferred path"
+    eng.push_pose(frames[0].t, frames[0].position, frames[0].quat_wxyz)
+    eng.process_frame(frames[0].t, frames[0].points)
+    eng.start()
+    t0 = time.perf_counter()
+    stats = eng.run_streaming_from_log(log_path, rate_hz=rate, loops=loops)
+    dt = time.perf_counter() - t0
+    with open(viz_path) as f:
+        viz_records = sum(1 for _ in f)
+    return {
+        "rate_hz": rate,
+        "processed_per_sec": round(stats["processed"] / dt, 2),
+        "drop_fraction": round(stats["dropped"] / max(stats["fed"], 1), 3),
+        "viz_records": viz_records,
+        "deferred_path": True,
+    }
+
+
 def build_tower_frames(cfg, n_frames):
     from pointcloud_segmentation_tpu.io.scene import (
         tower_scene, spiral_waypoints, trajectory_poses)
@@ -399,6 +434,8 @@ def main():
         details["streaming_map_build_g6"] = bench_streaming(
             cfg6, frames, rates=(30.0, 100.0))
         log(f"streaming map build g6: {details['streaming_map_build_g6']}")
+        details["streaming_viz_100hz"] = bench_streaming_viz(cfg, frames)
+        log(f"streaming + live viz 100 Hz: {details['streaming_viz_100hz']}")
 
     if profile_dir:
         with jax.profiler.trace(profile_dir):
