@@ -66,12 +66,26 @@ def _load():
 
 
 def is_axon_platform() -> bool:
-    """True iff jax's default backend is the axon relay (without forcing a
-    backend init error on hosts where axon is configured but down)."""
+    """True iff jax's ACTIVE backend comes through the axon relay plugin
+    (without forcing a backend init error on hosts where axon is
+    configured but down).
+
+    The plugin's self-reported platform name is NOT stable across builds:
+    it registered as 'axon' through round 3 and as plain 'tpu' after an
+    image rebuild — which silently disabled the journal-reset auto-default
+    and re-opened the ~55 KB/frame relay leak (caught by the round-4
+    endurance soak: 30 min at 30 Hz grew RSS 303 -> 3262 MB with
+    journal_resets=0).  So key on what IS stable: the axon backend
+    factory being registered (sitecustomize registers it exactly where
+    the relay is the TPU path; tests/tools pop it when forcing CPU) and
+    the active backend being one the plugin produces."""
     try:
         import jax
+        from jax._src import xla_bridge
 
-        return jax.default_backend() == "axon"
+        if "axon" not in getattr(xla_bridge, "_backend_factories", {}):
+            return False
+        return jax.default_backend() in ("axon", "tpu")
     except Exception:
         return False
 

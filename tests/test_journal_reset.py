@@ -308,3 +308,40 @@ def test_auto_default_off_on_cpu():
     assert eng.journal_reset_every == 0   # tests force the CPU platform
     eng2 = SegmentationEngine(CFG, backend="oracle")
     assert eng2.journal_reset_every == 0
+
+
+def test_is_axon_platform_survives_platform_rename(monkeypatch):
+    """The relay plugin registered as platform 'axon' through round 3 and
+    as plain 'tpu' after an image rebuild — the name-based check silently
+    disabled the journal-reset auto-default and re-opened the
+    ~55 KB/frame leak (caught by the round-4 endurance soak: 30 min at
+    30 Hz grew RSS 303 -> 3262 MB with journal_resets=0).  The detection
+    must key on the registered axon backend factory, not the reported
+    platform name."""
+    import jax
+    from jax._src import xla_bridge
+
+    monkeypatch.setitem(xla_bridge._backend_factories, "axon", object())
+    for name in ("axon", "tpu"):           # old and rebuilt plugin names
+        monkeypatch.setattr(jax, "default_backend", lambda n=name: n)
+        assert relay.is_axon_platform(), name
+    # axon registered but another backend actually active: not the relay
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert not relay.is_axon_platform()
+    # no axon factory (real local TPU, or tests' forced-CPU config)
+    monkeypatch.delitem(xla_bridge._backend_factories, "axon")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert not relay.is_axon_platform()
+
+
+def test_auto_default_on_when_relay_active(monkeypatch):
+    """End-to-end: under the rebuilt plugin's identity ('tpu' + registered
+    axon factory) the engine must default journal resets ON."""
+    import jax
+    from jax._src import xla_bridge
+
+    monkeypatch.setitem(xla_bridge._backend_factories, "axon", object())
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(relay, "reset_supported", lambda: True)
+    eng = SegmentationEngine(CFG, backend="jax")
+    assert eng.journal_reset_every == eng._JOURNAL_RESET_EVERY_DEFAULT
