@@ -94,6 +94,43 @@ def reset_supported() -> bool:
     return _load() is not None
 
 
+_METRIC_FNS = ("axon_session_compile_s", "axon_session_hold_s",
+               "axon_session_wait_s", "axon_session_wait_total_s")
+
+
+def session_metrics() -> dict:
+    """Snapshot the relay plugin's cumulative session counters (seconds
+    spent compiling / holding / waiting on the remote since session
+    start) plus its opaque ``counts`` string.  Per-window DELTAS of
+    these attribute stream stalls to their cause: a ``compile_s`` jump
+    is a remote recompile, a ``wait_s`` jump with flat ``compile_s`` is
+    relay/service-side queueing.  Returns {} when the plugin is absent;
+    counters the live build doesn't export (or that report -1 = no
+    session yet) are omitted."""
+    h = _load()
+    if h is None:
+        return {}
+    out = {}
+    for name in _METRIC_FNS:
+        try:
+            fn = getattr(h, name)
+            fn.restype = ctypes.c_double
+            v = float(fn())
+        except Exception:
+            continue
+        if v >= 0.0:
+            out[name.replace("axon_session_", "")] = v
+    try:
+        fn = h.axon_session_counts
+        fn.restype = ctypes.c_char_p
+        raw = fn()
+        if raw:
+            out["counts"] = raw.decode("utf-8", "replace")
+    except Exception:
+        pass
+    return out
+
+
 def journal_reset() -> bool:
     """Clear the relay client's replay journal (frees every retained
     transfer payload).  Returns False when the plugin library is absent.

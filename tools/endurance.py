@@ -19,9 +19,11 @@ Run bare on the TPU (owns the chip; no kill timeout):
     python tools/endurance.py [minutes=10] [rate_hz=30] [granularity=4]
 
 Prints one line per sample window and a final JSON summary; exit 1 if
-the last window's throughput fell >15% below the median window
-(degradation) or RSS grew >25% end-over-start after the first window
-(leak heuristic).
+the trailing-5-window median throughput fell >15% below the run median
+(sustained degradation — transient relay-outage windows are counted
+separately as ``outage_windows`` and attributed via per-window relay
+session-counter deltas) or RSS grew >25% end-over-start after the
+first window (leak heuristic).
 """
 
 import json
@@ -53,6 +55,7 @@ def main() -> int:
     from pointcloud_segmentation_tpu.config import (
         default_config, StaticShapes)
     from pointcloud_segmentation_tpu.io.replay import save_frames
+    from pointcloud_segmentation_tpu.runtime import relay
     from pointcloud_segmentation_tpu.runtime.engine import SegmentationEngine
 
     cfg = default_config(
@@ -86,12 +89,21 @@ def main() -> int:
     windows = []
     last_proc, last_drop, last_t = (eng.frames_processed,
                                     eng.dropped_frames, time.perf_counter())
+    # cumulative relay-session counters (seconds): per-window deltas
+    # attribute any stall — compile_s jump = remote recompile, wait_s
+    # jump with flat compile_s = relay/service-side outage
+    _num = lambda m: {k: v for k, v in m.items() if isinstance(v, float)}
+    met0_raw = relay.session_metrics()
+    last_met = _num(met0_raw)
     while runner.is_alive():
         runner.join(timeout=window_s)
         now = time.perf_counter()
         proc, drop = eng.frames_processed, eng.dropped_frames
         dt = now - last_t
         fed_delta = (proc - last_proc) + (drop - last_drop)
+        met = _num(relay.session_metrics())
+        met_delta = {k: round(v - last_met.get(k, 0.0), 2)
+                     for k, v in met.items()}
         windows.append({
             "processed_per_sec": round((proc - last_proc) / dt, 2),
             "drop_fraction": round(
@@ -100,13 +112,17 @@ def main() -> int:
             # world map size via counters only: a device read here would
             # contend with the stream's own flusher for the relay
             "world_segments": None,
+            "relay_s": met_delta or None,
         })
-        last_proc, last_drop, last_t = proc, drop, now
+        last_proc, last_drop, last_t, last_met = proc, drop, now, met
         c = windows[-1]
+        rel = ("" if not met_delta else " relay[" + " ".join(
+            f"{k.replace('_s', '')}={v:.1f}"
+            for k, v in sorted(met_delta.items())) + "]")
         print(f"window {len(windows)}: {c['processed_per_sec']:.1f} proc/s "
               f"drops={c['drop_fraction']:.1%} rss={c['rss_mb']:.0f} MB "
               f"skip={eng.frames_skipped_no_pose} "
-              f"resets={eng.journal_resets}",
+              f"resets={eng.journal_resets}{rel}",
               flush=True)
     n_segs = len(eng.world_segments())
 
@@ -115,7 +131,12 @@ def main() -> int:
     rates_seen = sorted(c["processed_per_sec"] for c in full)
     median = rates_seen[len(rates_seen) // 2] if rates_seen else 0.0
     last = full[-1]["processed_per_sec"] if full else 0.0
-    degraded = len(full) >= 3 and last < 0.85 * median
+    # degradation = sustained decay (compile storms, queue leaks), judged
+    # on the trailing five-window median so one transient relay outage
+    # or stormy-chip window cannot flag a healthy run
+    tail = sorted(c["processed_per_sec"] for c in full[-5:])
+    tail_median = tail[len(tail) // 2] if tail else 0.0
+    degraded = len(full) >= 6 and tail_median < 0.85 * median
     rss_first = full[0]["rss_mb"] if full else 0.0
     rss_last = full[-1]["rss_mb"] if full else 0.0
     leaked = len(full) >= 3 and rss_last > 1.25 * rss_first
@@ -134,7 +155,13 @@ def main() -> int:
         "world_segments_final": n_segs,
         "skipped_no_pose": eng.frames_skipped_no_pose,
         "journal_resets": eng.journal_resets,
+        # transient full/partial stalls (windows < 50% of median), with
+        # their relay-counter deltas carried in windows_detail for
+        # attribution; distinct from `degraded` (sustained decay)
+        "outage_windows": sum(
+            1 for c in full if c["processed_per_sec"] < 0.5 * median),
         "degraded": degraded, "leaked": leaked,
+        "relay_session_counts_last": relay.session_metrics().get("counts"),
         # per-window samples (the committed-artifact form: one JSON carries
         # the whole soak — trend inspection without re-running)
         "windows_detail": windows,
