@@ -261,6 +261,14 @@ class SegmentationEngine:
         self._last_reset_processed = 0   # frames_processed at the last one
         self._state_pack = None          # (pack, unpack) jitted pair
         self._state_unpack_host = None   # numpy twin (flush-cadence viz)
+        # host-side stall forensics (tools/endurance.py correlates these
+        # with throughput windows): per-reset phase timings + the slowest
+        # single device waits since the last pop_stall_max()
+        self.reset_log: list = []        # bounded; one dict per reset
+        self._last_drain_ms = 0.0        # flusher drain before the reset
+        self._stall_step_ms = 0.0        # max step dispatch wall (ms)
+        self._stall_read_ms = 0.0        # max flusher read wall (ms)
+        self._read_started_mono = None   # flusher head read in flight since
 
     def _make_mailbox(self):
         """Prefer the native (C++) latest-wins mailbox; fall back to Python."""
@@ -795,6 +803,20 @@ class SegmentationEngine:
     # (bounds in-flight frames to ~(this+1) * stream_sync_every under a
     # sustained overfeed — see the backpressure note in _worker_loop).
     _STREAM_MAX_UNREAD_BATCHES = 2
+    # A flusher read in flight longer than this is WEDGED, not slow: normal
+    # reads are ~25-50 ms and drag to ~1.5 s against a busy device queue,
+    # but the relay occasionally parks one read for ~100 s (measured
+    # post-journal-reset; window forensics in tools/endurance.py).  While
+    # the head read is wedged the backpressure loop must NOT stall the
+    # stream — dispatches concurrent with an in-flight read are safe and
+    # unslowed (tools/exp_concurrent_read.py), so the worker keeps stepping.
+    _STREAM_READ_WEDGE_S = 3.0
+    # ...but not without bound: a relay outage wedges dispatch-side growth
+    # into the client journal (~55 KB/frame), so cap total in-flight
+    # batches during a wedge.  64 batches x stream_sync_every(16) = 1024
+    # frames ~ 56 MB journal growth worst-case, the same bound as one
+    # journal-reset cadence window.
+    _STREAM_WEDGE_MAX_BATCHES = 64
     # Default axon journal-reset cadence (see journal_reset_every): the
     # relay journals ~55 KB/frame, so 1024 frames bounds the RSS swing to
     # ~60 MB while the reset itself (one packed read + one re-upload,
@@ -822,6 +844,9 @@ class SegmentationEngine:
                 self._state, raw, jnp.asarray(position, self._npdt),
                 jnp.asarray(quat, self._npdt))
         end = self._now()
+        step_ms = (end - start) * 1e3
+        if step_ms > self._stall_step_ms:
+            self._stall_step_ms = step_ms
         rec = {
             "wall_time": (end - self._program_start) * 1e6,
             "processing_time": (end - start) * 1e6,
@@ -874,8 +899,14 @@ class SegmentationEngine:
         k = len(batch)
         t0 = self._now()
         with self._read_lock:                   # the ONLY concurrent read
-            vals = np.asarray(stacked)[:k]      # single sync
+            self._read_started_mono = time.monotonic()
+            try:
+                vals = np.asarray(stacked)[:k]  # single sync
+            finally:
+                self._read_started_mono = None
         sync_us = (self._now() - t0) * 1e6
+        if sync_us / 1e3 > self._stall_read_ms:
+            self._stall_read_ms = sync_us / 1e3
         for (rec, _, _), row in zip(batch, vals):
             rec["seg_vec_size"] = int(row[0])
             rec["nblines"] = max(int(row[1]), 0)
@@ -953,7 +984,11 @@ class SegmentationEngine:
             with self._state_lock:
                 handle = pack(self._state)
             with self._read_lock:
-                vec = np.asarray(handle)       # the one read
+                self._read_started_mono = time.monotonic()
+                try:
+                    vec = np.asarray(handle)   # the one read
+                finally:
+                    self._read_started_mono = None
             st = self._state_unpack_host(vec)
             frame_no, t, position, quat = batch[-1][2]
             wc, nl, status = (int(v) for v in vals[-1][:3])
@@ -1024,16 +1059,31 @@ class SegmentationEngine:
         self._ensure_state_packer()
         pack, unpack = self._state_pack
         with self._state_lock, self._read_lock:
+            t0 = time.perf_counter()
             vec = np.asarray(pack(self._state))       # the one read
+            t1 = time.perf_counter()
             if not self._relay.journal_reset():
                 # plugin absent (non-axon jax backend): nothing leaked,
                 # nothing to do — but advance the cadence anchor so the
                 # worker does not retry every frame
                 self._last_reset_processed = self.frames_processed
                 return False
+            t2 = time.perf_counter()
             self._state = unpack(self._jnp.asarray(vec))
+            t3 = time.perf_counter()
             self.journal_resets += 1
             self._last_reset_processed = self.frames_processed
+            # phase forensics: which part of a reset ever stalls a stream
+            self.reset_log.append({
+                "at_frames": self.frames_processed,
+                "t_mono": round(time.monotonic(), 2),
+                "drain_ms": round(self._last_drain_ms, 1),
+                "read_ms": round((t1 - t0) * 1e3, 1),
+                "reset_ms": round((t2 - t1) * 1e3, 1),
+                "upload_ms": round((t3 - t2) * 1e3, 1),
+            })
+            del self.reset_log[:-512]
+            self._last_drain_ms = 0.0
         return True
 
     def _maybe_journal_reset(self) -> None:
@@ -1043,6 +1093,12 @@ class SegmentationEngine:
         if (not self.journal_reset_every or self.backend != "jax"
                 or (self.frames_processed - self._last_reset_processed)
                 < self.journal_reset_every):
+            return
+        if self._stream_deferred and self._flusher_read_wedged():
+            # The flusher's head read is parked on a wedged relay: the
+            # pre-reset drain below would block the worker for the whole
+            # wedge (measured ~100 s).  Defer — the cadence anchor is
+            # untouched, so the reset retries as soon as reads recover.
             return
         if self._stream_deferred:
             if self._pending:
@@ -1057,13 +1113,37 @@ class SegmentationEngine:
             # busy flag had a TOCTOU hole between get() returning and the
             # flag being raised.
             self._worker_idle.set()     # let its idle-gated read start
+            t0 = time.perf_counter()
             while self._running and self._flush_q.unfinished_tasks:
                 time.sleep(0.002)
+            self._last_drain_ms = (time.perf_counter() - t0) * 1e3
             if self._flush_q.unfinished_tasks:
                 return                  # stopping mid-drain: stop() handles it
         if not self._running:
             return
         self._journal_reset_now()
+
+    def _flusher_read_wedged(self) -> bool:
+        """True while the flusher's current device->host read has been in
+        flight longer than _STREAM_READ_WEDGE_S (single-writer timestamp:
+        only the flusher thread sets/clears it; a racy read here can only
+        misjudge by one poll interval)."""
+        s = self._read_started_mono
+        return (s is not None
+                and time.monotonic() - s > self._STREAM_READ_WEDGE_S)
+
+    def pop_stall_max(self) -> dict:
+        """Return-and-reset the slowest single step dispatch and flusher
+        read (ms) since the last call.  Diagnostic sampling for soak
+        monitors (tools/endurance.py): a throughput hole in a window with
+        a huge step_ms is a wedged dispatch; a huge flush_read_ms is a
+        wedged device->host read; neither large points at the feed/host
+        side.  Racy by design — a lost update only shrinks a max."""
+        out = {"step_ms": round(self._stall_step_ms, 1),
+               "flush_read_ms": round(self._stall_read_ms, 1)}
+        self._stall_step_ms = 0.0
+        self._stall_read_ms = 0.0
+        return out
 
     def journal_reset(self) -> bool:
         """Manual snapshot->reset->restore of the relay journal (see
@@ -1134,6 +1214,14 @@ class SegmentationEngine:
                 # the reference under load.
                 while (self._running and self._flush_q.qsize()
                         >= self._STREAM_MAX_UNREAD_BATCHES):
+                    # A WEDGED head read (not mere overfeed) must not
+                    # stall the stream: keep dispatching — measured safe
+                    # concurrent with the in-flight read — under the
+                    # wedge cap that bounds journal/device-queue growth.
+                    if (self._flusher_read_wedged()
+                            and self._flush_q.qsize()
+                            < self._STREAM_WEDGE_MAX_BATCHES):
+                        break
                     self._worker_idle.set()
                     time.sleep(0.005)
             self._maybe_journal_reset()

@@ -101,12 +101,15 @@ _METRIC_FNS = ("axon_session_compile_s", "axon_session_hold_s",
 def session_metrics() -> dict:
     """Snapshot the relay plugin's cumulative session counters (seconds
     spent compiling / holding / waiting on the remote since session
-    start) plus its opaque ``counts`` string.  Per-window DELTAS of
-    these attribute stream stalls to their cause: a ``compile_s`` jump
-    is a remote recompile, a ``wait_s`` jump with flat ``compile_s`` is
-    relay/service-side queueing.  Returns {} when the plugin is absent;
-    counters the live build doesn't export (or that report -1 = no
-    session yet) are omitted."""
+    start) plus the opaque ``counts`` machine word.
+
+    QUIESCENT PROBES ONLY (tools/exp_reset_cost.py): calling the seconds
+    counters while another thread is dispatching spins forever inside the
+    plugin (measured: sampling thread pinned at 100% CPU for minutes
+    mid-stream), so streaming monitors must use the engine's host-side
+    forensics (pop_stall_max / reset_log) instead.  Returns {} when the
+    plugin is absent; counters the live build doesn't export (or that
+    report -1 = no session yet) are omitted."""
     h = _load()
     if h is None:
         return {}
@@ -122,10 +125,13 @@ def session_metrics() -> dict:
             out[name.replace("axon_session_", "")] = v
     try:
         fn = h.axon_session_counts
-        fn.restype = ctypes.c_char_p
+        # NOT a string: in-session this returns a small integer (treating
+        # it as char* strlen-segfaults at that address — measured, fault
+        # addr 0xc).  Record the raw machine word, never dereference.
+        fn.restype = ctypes.c_void_p
         raw = fn()
         if raw:
-            out["counts"] = raw.decode("utf-8", "replace")
+            out["counts"] = int(raw)
     except Exception:
         pass
     return out

@@ -412,6 +412,49 @@ def test_engine_streaming_deferred_checkpoints(replay_frames, tmp_path):
     assert eng2.frames_processed >= 4
 
 
+def test_stream_rides_through_wedged_flusher_read(replay_frames):
+    """A flusher device->host read that wedges (the relay occasionally
+    parks one read for ~100 s right after a journal reset — endurance
+    window forensics, 2026-08-19) must NOT stall the stream: once the
+    head read exceeds _STREAM_READ_WEDGE_S, the worker's backpressure
+    loop keeps dispatching under _STREAM_WEDGE_MAX_BATCHES instead of
+    parking behind the stuck read, and the journal-reset cadence defers.
+    Records still backfill truthfully once the read recovers."""
+    eng = SegmentationEngine(CFG, backend="jax", stream_sync_every=2)
+    assert eng._stream_deferred
+    eng._STREAM_READ_WEDGE_S = 0.05      # test wedge qualifies instantly
+    orig = eng._backfill_batch
+    wedge = {"armed": True}
+    release = threading.Event()
+
+    def wedged(batch, stacked):
+        if wedge["armed"]:
+            wedge["armed"] = False
+            eng._read_started_mono = time.monotonic()
+            try:
+                release.wait(timeout=30.0)   # the parked read
+            finally:
+                eng._read_started_mono = None
+        return orig(batch, stacked)
+
+    eng._backfill_batch = wedged
+    eng.start()
+    try:
+        # batch 1 (frames 1-2) reaches the flusher and wedges; batches
+        # 2-3 queue past _STREAM_MAX_UNREAD_BATCHES — without the wedge
+        # escape the worker parks there and frames 7-8 time out
+        for fr in replay_frames:
+            _submit_and_wait(eng, fr, deadline_s=20.0)
+        assert eng.frames_processed == len(replay_frames)
+        assert not wedge["armed"]            # the wedge really engaged
+    finally:
+        release.set()
+        eng.stop()
+    # every record truthfully backfilled once the read recovered
+    assert all(r["seg_vec_size"] >= 0 and r["nblines"] >= 0
+               for r in eng.records)
+
+
 def test_engine_batched_replay_ragged_tail(replay_frames):
     """A frame count not divisible by the batch pads with degenerate
     no-op frames — the tail chunk must not corrupt the map."""

@@ -21,9 +21,10 @@ Run bare on the TPU (owns the chip; no kill timeout):
 Prints one line per sample window and a final JSON summary; exit 1 if
 the trailing-5-window median throughput fell >15% below the run median
 (sustained degradation — transient relay-outage windows are counted
-separately as ``outage_windows`` and attributed via per-window relay
-session-counter deltas) or RSS grew >25% end-over-start after the
-first window (leak heuristic).
+separately as ``outage_windows`` and attributed host-side: each window
+carries the slowest single step dispatch and flusher read, and the
+summary carries the engine's per-reset phase timings) or RSS grew >25%
+end-over-start after the first window (leak heuristic).
 """
 
 import json
@@ -89,21 +90,21 @@ def main() -> int:
     windows = []
     last_proc, last_drop, last_t = (eng.frames_processed,
                                     eng.dropped_frames, time.perf_counter())
-    # cumulative relay-session counters (seconds): per-window deltas
-    # attribute any stall — compile_s jump = remote recompile, wait_s
-    # jump with flat compile_s = relay/service-side outage
-    _num = lambda m: {k: v for k, v in m.items() if isinstance(v, float)}
-    met0_raw = relay.session_metrics()
-    last_met = _num(met0_raw)
+    # Stall attribution is HOST-SIDE ONLY (engine.pop_stall_max + the
+    # engine's reset_log phase timings): the relay plugin's session-metric
+    # exports cannot be called concurrent with an active stream — the
+    # counts export returns a machine word (not a string; dereferencing
+    # segfaults) and the seconds counters spin forever when another
+    # thread is dispatching (measured: main thread 100% CPU, zero
+    # windows).  relay.session_metrics() is for quiescent probes like
+    # tools/exp_reset_cost.py.
     while runner.is_alive():
         runner.join(timeout=window_s)
         now = time.perf_counter()
         proc, drop = eng.frames_processed, eng.dropped_frames
         dt = now - last_t
         fed_delta = (proc - last_proc) + (drop - last_drop)
-        met = _num(relay.session_metrics())
-        met_delta = {k: round(v - last_met.get(k, 0.0), 2)
-                     for k, v in met.items()}
+        stall = eng.pop_stall_max()
         windows.append({
             "processed_per_sec": round((proc - last_proc) / dt, 2),
             "drop_fraction": round(
@@ -112,17 +113,17 @@ def main() -> int:
             # world map size via counters only: a device read here would
             # contend with the stream's own flusher for the relay
             "world_segments": None,
-            "relay_s": met_delta or None,
+            "max_step_ms": stall["step_ms"],
+            "max_flush_read_ms": stall["flush_read_ms"],
         })
-        last_proc, last_drop, last_t, last_met = proc, drop, now, met
+        last_proc, last_drop, last_t = proc, drop, now
         c = windows[-1]
-        rel = ("" if not met_delta else " relay[" + " ".join(
-            f"{k.replace('_s', '')}={v:.1f}"
-            for k, v in sorted(met_delta.items())) + "]")
         print(f"window {len(windows)}: {c['processed_per_sec']:.1f} proc/s "
               f"drops={c['drop_fraction']:.1%} rss={c['rss_mb']:.0f} MB "
               f"skip={eng.frames_skipped_no_pose} "
-              f"resets={eng.journal_resets}{rel}",
+              f"resets={eng.journal_resets} "
+              f"maxstep={c['max_step_ms']:.0f}ms "
+              f"maxread={c['max_flush_read_ms']:.0f}ms",
               flush=True)
     n_segs = len(eng.world_segments())
 
@@ -161,7 +162,13 @@ def main() -> int:
         "outage_windows": sum(
             1 for c in full if c["processed_per_sec"] < 0.5 * median),
         "degraded": degraded, "leaked": leaked,
-        "relay_session_counts_last": relay.session_metrics().get("counts"),
+        # per-reset phase timings (drain/read/reset/upload ms) — aligns
+        # with windows via at_frames; the stream is stopped here so the
+        # quiescent-only relay counters are safe to snapshot too
+        "reset_log": eng.reset_log,
+        "relay_session_s": {k: round(v, 2) for k, v in
+                            relay.session_metrics().items()
+                            if isinstance(v, float)},
         # per-window samples (the committed-artifact form: one JSON carries
         # the whole soak — trend inspection without re-running)
         "windows_detail": windows,
