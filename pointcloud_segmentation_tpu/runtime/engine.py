@@ -269,6 +269,7 @@ class SegmentationEngine:
         self._stall_step_ms = 0.0        # max step dispatch wall (ms)
         self._stall_read_ms = 0.0        # max flusher read wall (ms)
         self._read_started_mono = None   # flusher head read in flight since
+        self.flush_batches_shed = 0      # telemetry batches shed mid-wedge
 
     def _make_mailbox(self):
         """Prefer the native (C++) latest-wins mailbox; fall back to Python."""
@@ -811,11 +812,12 @@ class SegmentationEngine:
     # stream — dispatches concurrent with an in-flight read are safe and
     # unslowed (tools/exp_concurrent_read.py), so the worker keeps stepping.
     _STREAM_READ_WEDGE_S = 3.0
-    # ...but not without bound: a relay outage wedges dispatch-side growth
-    # into the client journal (~55 KB/frame), so cap total in-flight
-    # batches during a wedge.  64 batches x stream_sync_every(16) = 1024
-    # frames ~ 56 MB journal growth worst-case, the same bound as one
-    # journal-reset cadence window.
+    # ...but device-handle accumulation is bounded: past this many queued
+    # batches mid-wedge the worker SHEDS the oldest unread batch instead
+    # of stalling (those frames keep their -1 telemetry sentinels — the
+    # map itself already advanced on device, so this is telemetry loss,
+    # never map loss; counted in flush_batches_shed).  Wedges measured up
+    # to 251 s would otherwise exhaust any fixed cap at 30 Hz.
     _STREAM_WEDGE_MAX_BATCHES = 64
     # Default axon journal-reset cadence (see journal_reset_every): the
     # relay journals ~55 KB/frame, so 1024 frames bounds the RSS swing to
@@ -1216,11 +1218,30 @@ class SegmentationEngine:
                         >= self._STREAM_MAX_UNREAD_BATCHES):
                     # A WEDGED head read (not mere overfeed) must not
                     # stall the stream: keep dispatching — measured safe
-                    # concurrent with the in-flight read — under the
-                    # wedge cap that bounds journal/device-queue growth.
-                    if (self._flusher_read_wedged()
-                            and self._flush_q.qsize()
-                            < self._STREAM_WEDGE_MAX_BATCHES):
+                    # concurrent with the in-flight read.  Past the wedge
+                    # cap, shed the oldest unread batch (its frames keep
+                    # -1 telemetry sentinels; the map already advanced on
+                    # device) rather than park the whole map build behind
+                    # a relay outage measured at up to 251 s.
+                    if self._flusher_read_wedged():
+                        if (self._flush_q.qsize()
+                                < self._STREAM_WEDGE_MAX_BATCHES):
+                            break
+                        try:
+                            shed = self._flush_q.get_nowait()
+                        except queue.Empty:
+                            continue
+                        if shed is None:     # stop() poison raced in:
+                            self._flush_q.task_done()
+                            self._flush_q.put(None)   # hand it back
+                            break
+                        self._flush_q.task_done()
+                        self.flush_batches_shed += 1
+                        logger.warning(
+                            "relay read wedged: shed one readback batch "
+                            "(%d frames keep -1 telemetry sentinels; "
+                            "%d batches shed total)",
+                            len(shed[0]), self.flush_batches_shed)
                         break
                     self._worker_idle.set()
                     time.sleep(0.005)
@@ -1297,7 +1318,8 @@ class SegmentationEngine:
 
         With the native runtime, the feeder is a C++ thread (GIL-free);
         otherwise a Python pacing thread replays the same log.  Returns
-        ``{"fed": n, "processed": n, "dropped": n, "journal_resets": n}``.
+        ``{"fed": n, "processed": n, "dropped": n, "journal_resets": n,
+        "flush_batches_shed": n}``.
         """
         import time as _time
 
@@ -1361,7 +1383,8 @@ class SegmentationEngine:
                       int(self.dropped_frames - base_dropped))
         return {"fed": int(fed), "processed": processed,
                 "dropped": dropped,
-                "journal_resets": int(self.journal_resets)}
+                "journal_resets": int(self.journal_resets),
+                "flush_batches_shed": int(self.flush_batches_shed)}
 
     @property
     def dropped_frames(self) -> int:

@@ -455,6 +455,51 @@ def test_stream_rides_through_wedged_flusher_read(replay_frames):
                for r in eng.records)
 
 
+def test_stream_sheds_telemetry_past_wedge_cap(replay_frames):
+    """A wedge outlasting _STREAM_WEDGE_MAX_BATCHES must shed the oldest
+    unread readback batch (telemetry loss: those records keep their -1
+    sentinels, flush_batches_shed counts them) rather than stall the map
+    build — the world state already advanced on device, so the final map
+    still matches a synchronous replay."""
+    eng = SegmentationEngine(CFG, backend="jax", stream_sync_every=2)
+    assert eng._stream_deferred
+    eng._STREAM_READ_WEDGE_S = 0.05
+    eng._STREAM_WEDGE_MAX_BATCHES = 1    # cap trips immediately mid-wedge
+    orig = eng._backfill_batch
+    wedge = {"armed": True}
+    release = threading.Event()
+
+    def wedged(batch, stacked):
+        if wedge["armed"]:
+            wedge["armed"] = False
+            eng._read_started_mono = time.monotonic()
+            try:
+                release.wait(timeout=30.0)
+            finally:
+                eng._read_started_mono = None
+        return orig(batch, stacked)
+
+    eng._backfill_batch = wedged
+    eng.start()
+    try:
+        for fr in replay_frames:
+            _submit_and_wait(eng, fr, deadline_s=20.0)
+        assert eng.frames_processed == len(replay_frames)
+        assert eng.flush_batches_shed >= 1
+    finally:
+        release.set()
+        eng.stop()
+    # shed batches keep sentinels (honest telemetry loss) ...
+    assert any(r["seg_vec_size"] == -1 for r in eng.records)
+    # ... but the map is byte-for-byte the synchronous replay's
+    eng_s = SegmentationEngine(CFG, backend="jax")
+    eng_s.run_replay(replay_frames)
+    segs_d, segs_s = eng.world_segments(), eng_s.world_segments()
+    assert len(segs_d) == len(segs_s)
+    for x, y in zip(segs_d, segs_s):
+        np.testing.assert_allclose(x["a"], y["a"], atol=1e-5)
+
+
 def test_engine_batched_replay_ragged_tail(replay_frames):
     """A frame count not divisible by the batch pads with degenerate
     no-op frames — the tail chunk must not corrupt the map."""

@@ -122,6 +122,7 @@ def main() -> int:
               f"drops={c['drop_fraction']:.1%} rss={c['rss_mb']:.0f} MB "
               f"skip={eng.frames_skipped_no_pose} "
               f"resets={eng.journal_resets} "
+              f"shed={eng.flush_batches_shed} "
               f"maxstep={c['max_step_ms']:.0f}ms "
               f"maxread={c['max_flush_read_ms']:.0f}ms",
               flush=True)
@@ -156,6 +157,7 @@ def main() -> int:
         "world_segments_final": n_segs,
         "skipped_no_pose": eng.frames_skipped_no_pose,
         "journal_resets": eng.journal_resets,
+        "flush_batches_shed": eng.flush_batches_shed,
         # transient full/partial stalls (windows < 50% of median), with
         # their relay-counter deltas carried in windows_detail for
         # attribution; distinct from `degraded` (sustained decay)
