@@ -820,10 +820,15 @@ class SegmentationEngine:
     # to 251 s would otherwise exhaust any fixed cap at 30 Hz.
     _STREAM_WEDGE_MAX_BATCHES = 64
     # Default axon journal-reset cadence (see journal_reset_every): the
-    # relay journals ~55 KB/frame, so 1024 frames bounds the RSS swing to
-    # ~60 MB while the reset itself (one packed read + one re-upload,
-    # ~50-80 ms through the relay) amortizes to < 0.3% at 30 Hz.
-    _JOURNAL_RESET_EVERY_DEFAULT = 1024
+    # relay journals ~55 KB/frame, so 4096 frames bounds the RSS swing to
+    # ~225 MB while the reset itself (one packed read + one re-upload,
+    # ~30-80 ms through the relay, phase-timed in reset_log) amortizes to
+    # < 0.1% at 30 Hz.  Was 1024: endurance forensics (2026-08-19) show
+    # ~half of mid-stream resets are followed by a relay read WEDGE of
+    # 10-357 s (zero wedges in a 30-min no-reset control), so the cadence
+    # trades a larger-but-bounded RSS swing for 4x less wedge exposure;
+    # the wedge-break + shedding above absorb the ones that remain.
+    _JOURNAL_RESET_EVERY_DEFAULT = 4096
 
     def _process_frame_deferred(self, t: float, points: np.ndarray) -> bool:
         """Streaming fast path: dispatch the jit'd step WITHOUT the per-frame

@@ -107,6 +107,7 @@ def main() -> int:
         stall = eng.pop_stall_max()
         windows.append({
             "processed_per_sec": round((proc - last_proc) / dt, 2),
+            "fed_in_window": fed_delta,
             "drop_fraction": round(
                 (drop - last_drop) / max(fed_delta, 1), 4),
             "rss_mb": round(rss_mb(), 1),
@@ -130,6 +131,11 @@ def main() -> int:
 
     # the final window is a partial (drain tail) — judge on full windows
     full = windows[:-1] if len(windows) > 1 else windows
+    # trailing DRAIN windows (feed already ended; a wedged tail read can
+    # hold the runner alive for minutes at 0 fed/s) are shutdown latency,
+    # not stream throughput — judge only the fed portion
+    while len(full) > 1 and full[-1]["fed_in_window"] < rate * window_s * 0.05:
+        full = full[:-1]
     rates_seen = sorted(c["processed_per_sec"] for c in full)
     median = rates_seen[len(rates_seen) // 2] if rates_seen else 0.0
     last = full[-1]["processed_per_sec"] if full else 0.0
@@ -141,7 +147,15 @@ def main() -> int:
     degraded = len(full) >= 6 and tail_median < 0.85 * median
     rss_first = full[0]["rss_mb"] if full else 0.0
     rss_last = full[-1]["rss_mb"] if full else 0.0
-    leaked = len(full) >= 3 and rss_last > 1.25 * rss_first
+    # leak heuristic on window MINIMA per half: the floor tracks real
+    # retention; point samples swing with XLA scratch buffers and the
+    # journal legitimately grows ~55 KB/frame during a relay read wedge
+    # until the post-recovery reset reclaims it
+    halves = max(len(full) // 2, 1)
+    rss_min_first = min(c["rss_mb"] for c in full[:halves]) if full else 0.0
+    rss_min_last = min(c["rss_mb"] for c in full[halves:]) if full[halves:] \
+        else rss_min_first
+    leaked = len(full) >= 6 and rss_min_last > 1.25 * rss_min_first
     summary = {
         "minutes": minutes, "rate_hz": rate, "granularity": granularity,
         "windows": len(windows),
@@ -154,6 +168,8 @@ def main() -> int:
         "drop_fraction_overall": round(
             result.get("dropped", 0) / max(result.get("fed", 1), 1), 4),
         "rss_mb_first_window": rss_first, "rss_mb_last": rss_last,
+        "rss_mb_min_first_half": rss_min_first,
+        "rss_mb_min_last_half": rss_min_last,
         "world_segments_final": n_segs,
         "skipped_no_pose": eng.frames_skipped_no_pose,
         "journal_resets": eng.journal_resets,
