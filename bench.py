@@ -312,6 +312,11 @@ def bench_streaming(cfg, frames, rates=(30.0, 100.0, 200.0), loops=3):
             "processed_per_sec": round(stats["processed"] / dt, 2),
             "drop_fraction": round(stats["dropped"] / max(stats["fed"], 1), 3),
             "world_segments": len(eng.world_segments()),
+            # self-explaining weather fields: a wedged relay read inflates
+            # drain_s (and deflates processed_per_sec) — see docs/PERF.md
+            "journal_resets": stats["journal_resets"],
+            "flush_batches_shed": stats["flush_batches_shed"],
+            "drain_s": stats["drain_s"],
         }
     return out
 

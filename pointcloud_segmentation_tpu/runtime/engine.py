@@ -1324,13 +1324,17 @@ class SegmentationEngine:
         With the native runtime, the feeder is a C++ thread (GIL-free);
         otherwise a Python pacing thread replays the same log.  Returns
         ``{"fed": n, "processed": n, "dropped": n, "journal_resets": n,
-        "flush_batches_shed": n}``.
+        "flush_batches_shed": n, "feed_s": s, "drain_s": s}`` — feed_s is
+        the paced-feed phase, drain_s the post-feed settle (a wedged
+        relay read can hold the drain for minutes; benchmarks should
+        rate against feed_s + a healthy drain, not a wedged one).
         """
         import time as _time
 
         from .. import native
 
         self.start()
+        t_feed0 = _time.perf_counter()
         # per-run accounting baseline: counters are cumulative across runs
         base_total = (self.frames_processed + self.frames_failed
                       + self.frames_skipped_no_pose + self.dropped_frames)
@@ -1373,11 +1377,13 @@ class SegmentationEngine:
                     fed += 1
                     if period:
                         _time.sleep(period)
+        t_drain0 = _time.perf_counter()
         # drain: wait until every frame of THIS run is accounted for
         # (processed/failed/skipped/dropped); the window outlasts a
         # first-frame TPU compile (engine.drain extends on progress)
         self.drain(target_total=base_total + fed, poll_s=poll_s)
         self.stop()
+        t_end = _time.perf_counter()
         processed = int(self.frames_processed - base_processed)
         skipped = int(self.frames_skipped_no_pose - base_skipped)
         failed = int(self.frames_failed - base_failed)
@@ -1389,7 +1395,9 @@ class SegmentationEngine:
         return {"fed": int(fed), "processed": processed,
                 "dropped": dropped,
                 "journal_resets": int(self.journal_resets),
-                "flush_batches_shed": int(self.flush_batches_shed)}
+                "flush_batches_shed": int(self.flush_batches_shed),
+                "feed_s": round(t_drain0 - t_feed0, 3),
+                "drain_s": round(t_end - t_drain0, 3)}
 
     @property
     def dropped_frames(self) -> int:
