@@ -16,15 +16,25 @@ package-wide M_ARENA_MAX cap (pointcloud_segmentation_tpu/_malloc.py).
 
 Run bare on the TPU (owns the chip; no kill timeout):
 
-    python tools/endurance.py [minutes=10] [rate_hz=30] [granularity=4]
+    python tools/endurance.py [minutes=10] [rate_hz=30] [granularity=4] \
+        [journal_reset_every=engine-default]
 
 Prints one line per sample window and a final JSON summary; exit 1 if
 the trailing-5-window median throughput fell >15% below the run median
 (sustained degradation — transient relay-outage windows are counted
 separately as ``outage_windows`` and attributed host-side: each window
 carries the slowest single step dispatch and flusher read, and the
-summary carries the engine's per-reset phase timings) or RSS grew >25%
-end-over-start after the first window (leak heuristic).
+summary carries the engine's per-reset phase timings) or the RSS-minima
+floor keeps rising in the steady region (leak heuristic).
+
+The leak heuristic must see past the journal-reset SAWTOOTH: between
+resets the relay client legitimately retains ~55 KB/frame of replay
+journal, so RSS ramps by roughly ``cadence * 0.055 MB`` and snaps back
+at each reset.  Windows before the first reset therefore sit on an
+un-reclaimed ramp that is NOT a leak baseline — the judgment starts at
+the first window past one full cadence and compares minima per half
+from there (window point samples additionally swing with XLA scratch
+buffers; minima are the stable floor).
 """
 
 import json
@@ -48,6 +58,7 @@ def main() -> int:
     minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
     rate = float(sys.argv[2]) if len(sys.argv) > 2 else 30.0
     granularity = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    reset_every = int(sys.argv[4]) if len(sys.argv) > 4 else None
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -67,7 +78,7 @@ def main() -> int:
     log_path = os.path.join(tempfile.gettempdir(), "endurance.pcsl")
     save_frames(log_path, frames)
 
-    eng = SegmentationEngine(cfg)
+    eng = SegmentationEngine(cfg, journal_reset_every=reset_every)
     # warm every compile outside the measured window (per-frame step +
     # the deferred flush stack pre-compiled by engine.start)
     eng.push_pose(frames[0].t, frames[0].position, frames[0].quat_wxyz)
@@ -147,15 +158,34 @@ def main() -> int:
     degraded = len(full) >= 6 and tail_median < 0.85 * median
     rss_first = full[0]["rss_mb"] if full else 0.0
     rss_last = full[-1]["rss_mb"] if full else 0.0
-    # leak heuristic on window MINIMA per half: the floor tracks real
-    # retention; point samples swing with XLA scratch buffers and the
-    # journal legitimately grows ~55 KB/frame during a relay read wedge
-    # until the post-recovery reset reclaims it
-    halves = max(len(full) // 2, 1)
-    rss_min_first = min(c["rss_mb"] for c in full[:halves]) if full else 0.0
-    rss_min_last = min(c["rss_mb"] for c in full[halves:]) if full[halves:] \
-        else rss_min_first
-    leaked = len(full) >= 6 and rss_min_last > 1.25 * rss_min_first
+    # leak heuristic on window MINIMA per half of the STEADY region: the
+    # floor tracks real retention; point samples swing with XLA scratch
+    # buffers and the journal legitimately grows ~55 KB/frame during a
+    # relay read wedge until the post-recovery reset reclaims it.  The
+    # steady region starts after one full journal-reset cadence of frames
+    # has been fed: before the first reset the journal ramp is
+    # un-reclaimed by design (the sawtooth's rising edge), so pre-reset
+    # windows sit BELOW every post-reset floor and would make the plateau
+    # look like growth (measured: diag6 at cadence 4096 flagged a healthy
+    # ~550 MB plateau against its 302 MB warmup floor).
+    cadence = eng.journal_reset_every
+    start = 0
+    if cadence:
+        cum = 0
+        for i, c in enumerate(full):
+            cum += c["fed_in_window"]
+            if cum >= cadence:
+                start = min(i + 1, max(len(full) - 1, 0))
+                break
+        else:
+            start = 0       # run shorter than one cadence: judge it all
+    steady = full[start:] if full[start:] else full
+    halves = max(len(steady) // 2, 1)
+    rss_min_first = min(c["rss_mb"] for c in steady[:halves]) \
+        if steady else 0.0
+    rss_min_last = min(c["rss_mb"] for c in steady[halves:]) \
+        if steady[halves:] else rss_min_first
+    leaked = len(steady) >= 6 and rss_min_last > 1.25 * rss_min_first
     summary = {
         "minutes": minutes, "rate_hz": rate, "granularity": granularity,
         "windows": len(windows),
@@ -170,6 +200,8 @@ def main() -> int:
         "rss_mb_first_window": rss_first, "rss_mb_last": rss_last,
         "rss_mb_min_first_half": rss_min_first,
         "rss_mb_min_last_half": rss_min_last,
+        "rss_judgment_start_window": start,
+        "journal_reset_cadence": cadence,
         "world_segments_final": n_segs,
         "skipped_no_pose": eng.frames_skipped_no_pose,
         "journal_resets": eng.journal_resets,
