@@ -1,0 +1,112 @@
+"""Unit tests for the endurance soak's pure verdict (tools/endurance.py
+judge_windows).  Both live heuristics have each mis-flagged a healthy run
+once on real hardware, so their fixes are pinned here:
+
+- a relay-outage DRAIN tail (feed ended, runner held alive by a wedged
+  read at ~0 fed/s) must not count as throughput degradation;
+- the pre-first-journal-reset RSS ramp (the relay client legitimately
+  retains ~55 KB/frame of replay journal until the first cadenced reset
+  reclaims it) must not serve as the leak baseline — diag6 at cadence
+  4096 flagged a healthy ~550 MB plateau against its 302 MB warmup floor.
+
+Mirrors the reference's whole-flight operating envelope
+(/root/reference/src/pointcloud_segmentation_node.cpp:267-348): the node
+must hold throughput and memory for the duration of a flight.
+"""
+
+import importlib.util
+import os
+import sys
+
+RATE = 30.0
+WINDOW_S = 30.0
+
+
+def _load():
+    tools = os.path.join(os.path.dirname(__file__), "..", "tools")
+    spec = importlib.util.spec_from_file_location(
+        "endurance", os.path.join(tools, "endurance.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["endurance"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+END = _load()
+
+
+def w(rate_ps=30.0, fed=900, rss=550.0):
+    return {"processed_per_sec": rate_ps, "fed_in_window": fed,
+            "rss_mb": rss}
+
+
+def judge(windows, cadence=4096):
+    return END.judge_windows(windows, cadence, RATE, WINDOW_S)
+
+
+def test_healthy_sawtooth_plateau_not_a_leak():
+    # diag6's shape: warmup ramp 302->~540 over the first cadence
+    # (4096 frames / 900 per window ~= 5 windows), then a flat sawtooth
+    # plateau whose minima sit ~545 — far above the warmup floor.
+    windows = [w(rss=302 + i * 60) for i in range(5)]
+    windows += [w(rss=545 + (i % 3) * 8) for i in range(14)]
+    windows.append(w(rate_ps=4.0, fed=30, rss=550))   # partial tail
+    v = judge(windows)
+    assert not v["leaked"], v
+    assert not v["degraded"], v
+    assert v["rss_judgment_start_window"] == 5, v
+    assert v["rss_mb_min_first_half"] >= 540, v
+
+
+def test_true_floor_rise_still_flags():
+    # a genuine leak: the post-warmup minima floor keeps climbing
+    windows = [w(rss=300 + i * 50) for i in range(20)]
+    v = judge(windows)
+    assert v["leaked"], v
+
+
+def test_leak_on_unbounded_journal_without_resets():
+    # cadence 0 (resets disabled): judge from window 0 — the r04 shape
+    # (300 -> 3265 MB over the run) must flag
+    windows = [w(rss=300 + i * 150) for i in range(20)]
+    v = judge(windows, cadence=0)
+    assert v["leaked"], v
+    assert v["rss_judgment_start_window"] == 0, v
+
+
+def test_drain_tail_windows_do_not_degrade():
+    # healthy 30/s stream, then the feed ends and a wedged tail read
+    # holds the runner alive for 4 windows at ~0 fed/s
+    windows = [w() for _ in range(12)]
+    windows += [w(rate_ps=0.1, fed=5) for _ in range(4)]
+    v = judge(windows)
+    assert not v["degraded"], v
+    assert v["median_processed_per_sec"] == 30.0, v
+
+
+def test_sustained_decay_flags():
+    windows = [w() for _ in range(10)] + \
+        [w(rate_ps=18.0) for _ in range(6)] + [w()]
+    v = judge(windows)
+    assert v["degraded"], v
+
+
+def test_transient_outage_counts_but_does_not_degrade():
+    windows = [w() for _ in range(8)] + [w(rate_ps=2.0)] + \
+        [w() for _ in range(8)]
+    v = judge(windows)
+    assert not v["degraded"], v
+    assert v["outage_windows"] == 1, v
+
+
+def test_short_run_never_flags():
+    v = judge([w(rss=300), w(rss=900), w(rss=1200)])
+    assert not v["leaked"] and not v["degraded"], v
+
+
+def test_run_shorter_than_cadence_judged_whole():
+    # 3 full windows * 900 fed < 4096: no window reaches the cadence,
+    # so judgment starts at 0 (and the <6-window guard keeps it calm)
+    windows = [w(rss=300 + i * 10) for i in range(4)]
+    v = judge(windows)
+    assert v["rss_judgment_start_window"] == 0, v

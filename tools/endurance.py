@@ -54,6 +54,69 @@ def rss_mb() -> float:
     return float("nan")
 
 
+def judge_windows(windows, cadence, rate, window_s=30.0):
+    """Pure verdict over per-window samples (unit-tested: the two live
+    heuristics have each mis-flagged a healthy run once — a relay-outage
+    tail at 0 fed/s, and the pre-first-reset journal ramp as a leak
+    baseline).  Returns the judgment fields merged into the summary.
+
+    - Drops the final partial window, then trailing DRAIN windows (feed
+      ended; a wedged tail read can hold the runner alive for minutes at
+      ~0 fed/s) — shutdown latency, not stream throughput.
+    - ``degraded``: trailing five-window median < 85% of the run median
+      (sustained decay — compile storms, queue leaks; a single transient
+      relay outage or stormy-chip window cannot flag it).
+    - ``leaked``: RSS window-MINIMA floor rising across halves of the
+      STEADY region.  Minima, because point samples swing with XLA
+      scratch buffers; steady region starts after one full journal-reset
+      cadence of fed frames, because the relay journal legitimately ramps
+      ~55 KB/frame until the first reset reclaims it (the sawtooth's
+      rising edge — measured: diag6 at cadence 4096 flagged a healthy
+      ~550 MB plateau against its 302 MB warmup floor).
+    """
+    full = windows[:-1] if len(windows) > 1 else list(windows)
+    while len(full) > 1 and full[-1]["fed_in_window"] < rate * window_s * 0.05:
+        full = full[:-1]
+    rates_seen = sorted(c["processed_per_sec"] for c in full)
+    median = rates_seen[len(rates_seen) // 2] if rates_seen else 0.0
+    last = full[-1]["processed_per_sec"] if full else 0.0
+    tail = sorted(c["processed_per_sec"] for c in full[-5:])
+    tail_median = tail[len(tail) // 2] if tail else 0.0
+    degraded = len(full) >= 6 and tail_median < 0.85 * median
+    start = 0
+    if cadence:
+        cum = 0
+        for i, c in enumerate(full):
+            cum += c["fed_in_window"]
+            if cum >= cadence:
+                start = min(i + 1, max(len(full) - 1, 0))
+                break
+        else:
+            start = 0       # run shorter than one cadence: judge it all
+    steady = full[start:] if full[start:] else full
+    halves = max(len(steady) // 2, 1)
+    rss_min_first = min(c["rss_mb"] for c in steady[:halves]) \
+        if steady else 0.0
+    rss_min_last = min(c["rss_mb"] for c in steady[halves:]) \
+        if steady[halves:] else rss_min_first
+    leaked = len(steady) >= 6 and rss_min_last > 1.25 * rss_min_first
+    return {
+        "median_processed_per_sec": median,
+        "min_processed_per_sec": rates_seen[0] if rates_seen else 0.0,
+        "max_processed_per_sec": rates_seen[-1] if rates_seen else 0.0,
+        "last_processed_per_sec": last,
+        "rss_mb_first_window": full[0]["rss_mb"] if full else 0.0,
+        "rss_mb_last": full[-1]["rss_mb"] if full else 0.0,
+        "rss_mb_min_first_half": rss_min_first,
+        "rss_mb_min_last_half": rss_min_last,
+        "rss_judgment_start_window": start,
+        "journal_reset_cadence": cadence,
+        "outage_windows": sum(
+            1 for c in full if c["processed_per_sec"] < 0.5 * median),
+        "degraded": degraded, "leaked": leaked,
+    }
+
+
 def main() -> int:
     minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
     rate = float(sys.argv[2]) if len(sys.argv) > 2 else 30.0
@@ -140,78 +203,19 @@ def main() -> int:
               flush=True)
     n_segs = len(eng.world_segments())
 
-    # the final window is a partial (drain tail) — judge on full windows
-    full = windows[:-1] if len(windows) > 1 else windows
-    # trailing DRAIN windows (feed already ended; a wedged tail read can
-    # hold the runner alive for minutes at 0 fed/s) are shutdown latency,
-    # not stream throughput — judge only the fed portion
-    while len(full) > 1 and full[-1]["fed_in_window"] < rate * window_s * 0.05:
-        full = full[:-1]
-    rates_seen = sorted(c["processed_per_sec"] for c in full)
-    median = rates_seen[len(rates_seen) // 2] if rates_seen else 0.0
-    last = full[-1]["processed_per_sec"] if full else 0.0
-    # degradation = sustained decay (compile storms, queue leaks), judged
-    # on the trailing five-window median so one transient relay outage
-    # or stormy-chip window cannot flag a healthy run
-    tail = sorted(c["processed_per_sec"] for c in full[-5:])
-    tail_median = tail[len(tail) // 2] if tail else 0.0
-    degraded = len(full) >= 6 and tail_median < 0.85 * median
-    rss_first = full[0]["rss_mb"] if full else 0.0
-    rss_last = full[-1]["rss_mb"] if full else 0.0
-    # leak heuristic on window MINIMA per half of the STEADY region: the
-    # floor tracks real retention; point samples swing with XLA scratch
-    # buffers and the journal legitimately grows ~55 KB/frame during a
-    # relay read wedge until the post-recovery reset reclaims it.  The
-    # steady region starts after one full journal-reset cadence of frames
-    # has been fed: before the first reset the journal ramp is
-    # un-reclaimed by design (the sawtooth's rising edge), so pre-reset
-    # windows sit BELOW every post-reset floor and would make the plateau
-    # look like growth (measured: diag6 at cadence 4096 flagged a healthy
-    # ~550 MB plateau against its 302 MB warmup floor).
-    cadence = eng.journal_reset_every
-    start = 0
-    if cadence:
-        cum = 0
-        for i, c in enumerate(full):
-            cum += c["fed_in_window"]
-            if cum >= cadence:
-                start = min(i + 1, max(len(full) - 1, 0))
-                break
-        else:
-            start = 0       # run shorter than one cadence: judge it all
-    steady = full[start:] if full[start:] else full
-    halves = max(len(steady) // 2, 1)
-    rss_min_first = min(c["rss_mb"] for c in steady[:halves]) \
-        if steady else 0.0
-    rss_min_last = min(c["rss_mb"] for c in steady[halves:]) \
-        if steady[halves:] else rss_min_first
-    leaked = len(steady) >= 6 and rss_min_last > 1.25 * rss_min_first
+    verdict = judge_windows(windows, eng.journal_reset_every, rate, window_s)
     summary = {
         "minutes": minutes, "rate_hz": rate, "granularity": granularity,
         "windows": len(windows),
         "fed": result.get("fed"), "processed": result.get("processed"),
         "dropped": result.get("dropped"),
-        "median_processed_per_sec": median,
-        "min_processed_per_sec": rates_seen[0] if rates_seen else 0.0,
-        "max_processed_per_sec": rates_seen[-1] if rates_seen else 0.0,
-        "last_processed_per_sec": last,
+        **verdict,
         "drop_fraction_overall": round(
             result.get("dropped", 0) / max(result.get("fed", 1), 1), 4),
-        "rss_mb_first_window": rss_first, "rss_mb_last": rss_last,
-        "rss_mb_min_first_half": rss_min_first,
-        "rss_mb_min_last_half": rss_min_last,
-        "rss_judgment_start_window": start,
-        "journal_reset_cadence": cadence,
         "world_segments_final": n_segs,
         "skipped_no_pose": eng.frames_skipped_no_pose,
         "journal_resets": eng.journal_resets,
         "flush_batches_shed": eng.flush_batches_shed,
-        # transient full/partial stalls (windows < 50% of median), with
-        # their relay-counter deltas carried in windows_detail for
-        # attribution; distinct from `degraded` (sustained decay)
-        "outage_windows": sum(
-            1 for c in full if c["processed_per_sec"] < 0.5 * median),
-        "degraded": degraded, "leaked": leaked,
         # per-reset phase timings (drain/read/reset/upload ms) — aligns
         # with windows via at_frames; the stream is stopped here so the
         # quiescent-only relay counters are safe to snapshot too
@@ -224,7 +228,7 @@ def main() -> int:
         "windows_detail": windows,
     }
     print(json.dumps(summary), flush=True)
-    return 1 if (degraded or leaked) else 0
+    return 1 if (verdict["degraded"] or verdict["leaked"]) else 0
 
 
 if __name__ == "__main__":
