@@ -1,0 +1,137 @@
+"""Quiet-window artifact recorder for the round-4 evidence asks.
+
+The shared testbed chip's service rate swings 6.5 <-> ~27 ms/frame with
+neighbor load and storms persist 40+ min (tools/chip_weather.py;
+CLAUDE.md), so the two recording jobs this round needs — the
+``BENCH_CONFIG=all`` bench_details refresh and the 30-min endurance
+soak — cannot just be launched: they must WAIT for a quiet window, and
+each result must be accepted only if the run itself stayed quiet (the
+bench rows self-report device time for exactly this purpose).
+
+    python tools/record_artifacts.py [--bench] [--endurance] \
+        [--minutes 30] [--cadence 1024] [--quiet-ms 9.5]
+
+Runs unattended: probes chip weather every ~8 min; when quiet, runs the
+next stage as a subprocess (plain python -> axon TPU; NEVER killed or
+timed out — a killed TPU process leaves a stale claim).  Bench results
+land in /tmp first and are copied into the repo only if the run's own
+node_loop device time confirms the window stayed quiet.  The endurance
+summary is accepted on exit 0 (its own verdict logic judges degradation
+and leaks).  Everything is logged to stdout; the caller commits.
+"""
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PROBE_PERIOD_S = 8 * 60
+MAX_ATTEMPTS = 8
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def probe_ms():
+    """One chip-weather probe; returns device ms/frame (or None)."""
+    p = subprocess.run([sys.executable, "tools/chip_weather.py"],
+                       cwd=REPO, capture_output=True, text=True)
+    m = re.search(r"device_ms_per_frame=([0-9.]+)", p.stdout + p.stderr)
+    return float(m.group(1)) if m else None
+
+
+def wait_quiet(quiet_ms):
+    while True:
+        ms = probe_ms()
+        log(f"weather probe: {ms} ms/frame (quiet < {quiet_ms})")
+        if ms is not None and ms < quiet_ms:
+            return ms
+        time.sleep(PROBE_PERIOD_S)
+
+
+def run_bench(quiet_ms):
+    """BENCH_CONFIG=all into /tmp; adopt only if the run stayed quiet."""
+    tmp = "/tmp/bench_details_try.json"
+    env = dict(os.environ, BENCH_CONFIG="all", BENCH_DETAILS=tmp)
+    log("bench: starting BENCH_CONFIG=all (this holds the TPU ~15-25 min)")
+    p = subprocess.run([sys.executable, "bench.py"], cwd=REPO, env=env,
+                       capture_output=True, text=True)
+    sys.stdout.write(p.stdout[-4000:])
+    sys.stderr.write(p.stderr[-2000:])
+    if p.returncode != 0 or not os.path.exists(tmp):
+        log(f"bench: FAILED rc={p.returncode}")
+        return False
+    det = json.load(open(tmp))
+    dev = det.get("node_loop", {}).get("device_ms_per_frame")
+    if dev is None or dev > quiet_ms:
+        log(f"bench: run went stormy mid-window (node_loop device "
+            f"{dev} ms) — rejecting this attempt")
+        shutil.copy(tmp, f"/tmp/bench_details_stormy_{int(time.time())}.json")
+        return False
+    shutil.copy(tmp, os.path.join(REPO, "bench_details.json"))
+    log(f"bench: ACCEPTED (node_loop device {dev:.2f} ms) -> "
+        f"bench_details.json")
+    return True
+
+
+def run_endurance(minutes, cadence):
+    """30-min production soak; accept on the tool's own exit 0."""
+    out = os.path.join(REPO, "ENDURANCE_r04.json")
+    log(f"endurance: starting {minutes} min @ 30 Hz g4 cadence {cadence}")
+    p = subprocess.run(
+        [sys.executable, "tools/endurance.py", str(minutes), "30", "4",
+         str(cadence)],
+        cwd=REPO, capture_output=True, text=True)
+    sys.stdout.write(p.stdout[-8000:])
+    sys.stderr.write(p.stderr[-2000:])
+    lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+    if p.returncode != 0 or not lines:
+        log(f"endurance: FAILED rc={p.returncode}")
+        if lines:
+            with open(f"/tmp/endurance_failed_{int(time.time())}.json",
+                      "w") as f:
+                f.write(lines[-1] + "\n")
+        return False
+    with open(out, "w") as f:
+        f.write(lines[-1] + "\n")
+    log(f"endurance: ACCEPTED -> {out}")
+    return True
+
+
+def main():
+    args = sys.argv[1:]
+    do_bench = "--bench" in args or not any(
+        a in args for a in ("--bench", "--endurance"))
+    do_end = "--endurance" in args or not any(
+        a in args for a in ("--bench", "--endurance"))
+    minutes = float(args[args.index("--minutes") + 1]) \
+        if "--minutes" in args else 30.0
+    cadence = int(args[args.index("--cadence") + 1]) \
+        if "--cadence" in args else 1024
+    quiet_ms = float(args[args.index("--quiet-ms") + 1]) \
+        if "--quiet-ms" in args else 9.5
+
+    stages = ([("bench", lambda: run_bench(quiet_ms))] if do_bench else []) \
+        + ([("endurance", lambda: run_endurance(minutes, cadence))]
+           if do_end else [])
+    for name, fn in stages:
+        for attempt in range(1, MAX_ATTEMPTS + 1):
+            wait_quiet(quiet_ms)
+            log(f"{name}: attempt {attempt}/{MAX_ATTEMPTS}")
+            if fn():
+                break
+            time.sleep(PROBE_PERIOD_S)
+        else:
+            log(f"{name}: gave up after {MAX_ATTEMPTS} attempts")
+            return 1
+    log("all stages recorded")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
