@@ -987,6 +987,15 @@ class SegmentationEngine:
         telemetry; the backfill already committed)."""
         try:
             self._ensure_state_packer()
+            # Re-enter a worker-idle window first: the backfill read this
+            # rides behind may have outlived the idle window it started in,
+            # and a read against live dispatches drags for seconds while
+            # slowing them (the same reason _flusher_loop gates).  Cannot
+            # deadlock: the backpressure loop and the journal-reset drain
+            # both set _worker_idle while they wait on this very task.
+            while (self._running
+                    and not self._worker_idle.wait(timeout=0.05)):
+                pass
             pack, _ = self._state_pack
             with self._state_lock:
                 handle = pack(self._state)
@@ -1122,6 +1131,14 @@ class SegmentationEngine:
             self._worker_idle.set()     # let its idle-gated read start
             t0 = time.perf_counter()
             while self._running and self._flush_q.unfinished_tasks:
+                if self._flusher_read_wedged():
+                    # A read parked AFTER the pre-drain check (it only
+                    # catches wedges already >3 s old): bail out instead
+                    # of spinning for the whole 10-357 s wedge with the
+                    # mailbox dropping frames.  The cadence anchor is
+                    # untouched, so the reset retries as soon as reads
+                    # recover — same contract as the pre-drain deferral.
+                    return
                 time.sleep(0.002)
             self._last_drain_ms = (time.perf_counter() - t0) * 1e3
             if self._flush_q.unfinished_tasks:
