@@ -104,7 +104,9 @@ def _frames(args):
 
         # recorded ROS1 data (the reference's /tof_pc + pose topics,
         # node.cpp:64-67) — poses associated via the TF2-analog buffer
-        frames = bag_to_frames(args.bag)
+        frames = bag_to_frames(args.bag,
+                               cloud_topic=getattr(args, "cloud_topic", None),
+                               pose_topic=getattr(args, "pose_topic", None))
         return frames[: args.max_frames] if getattr(args, "max_frames", 0) \
             else frames
     if getattr(args, "replay", None):
@@ -349,6 +351,14 @@ def main(argv=None) -> int:
                                   "topic — the reference's rosbag "
                                   "recordings, read without a ROS install; "
                                   "container auto-detected)")
+    pr.add_argument("--cloud-topic", default=None, metavar="TOPIC",
+                    help="PointCloud2 topic to read from --bag (required "
+                         "when several topics carry clouds, e.g. a "
+                         "record-everything capture that also holds the "
+                         "node's republished filtered/hough clouds)")
+    pr.add_argument("--pose-topic", default=None, metavar="TOPIC",
+                    help="pose topic (PoseStamped/Odometry) to read from "
+                         "--bag when several match")
     pr.add_argument("--wbt", help="Webots world file: fly the simulated "
                                   "trajectory against its DEF SEGn cylinders "
                                   "(e.g. the reference's obs_tests world)")
@@ -386,6 +396,10 @@ def main(argv=None) -> int:
     pc.add_argument("--bag", help="convert a recorded ROS1 .bag / ROS2 "
                                   ".mcap into the .pcsl log instead of "
                                   "simulating")
+    pc.add_argument("--cloud-topic", default=None, metavar="TOPIC",
+                    help="PointCloud2 topic to read from --bag (see run)")
+    pc.add_argument("--pose-topic", default=None, metavar="TOPIC",
+                    help="pose topic to read from --bag (see run)")
     pc.add_argument("--wbt", help="Webots world file (see run --wbt)")
     pc.add_argument("--waypoints")
     pc.add_argument("--hz", type=float, default=4.0)

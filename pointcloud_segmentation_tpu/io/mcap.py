@@ -35,6 +35,8 @@ from typing import Dict, Iterable, Iterator, List, Optional, Tuple
 
 import numpy as np
 
+from . import rosbag
+
 MAGIC = b"\x89MCAP0\r\n"
 
 _OP_HEADER = 0x01
@@ -48,9 +50,6 @@ _OP_DATA_END = 0x0F
 CLOUD_TYPES = ("sensor_msgs/msg/PointCloud2", "sensor_msgs/PointCloud2")
 POSE_TYPES = ("geometry_msgs/msg/PoseStamped", "geometry_msgs/PoseStamped",
               "nav_msgs/msg/Odometry", "nav_msgs/Odometry")
-
-_PF_DTYPES = {1: "<i1", 2: "<u1", 3: "<i2", 4: "<u2",
-              5: "<i4", 6: "<u4", 7: "<f4", 8: "<f8"}
 
 
 # ------------------------------------------------------------- container
@@ -91,15 +90,31 @@ def _records_in(blob: bytes) -> Iterator[Tuple[int, bytes]]:
         off += clen
 
 
+def check_cdr(topic: str, encoding: str) -> None:
+    """Only ``cdr``-encoded channels are decodable: `mcap convert
+    flight.bag` keeps ROS1 serialization (message_encoding "ros1") under
+    the SAME schema names this module accepts, and a ROS1 payload
+    mis-parsed as CDR yields silently wrong stamps/points — so a non-cdr
+    channel that is about to be DECODED is an error, not a guess.
+    (Channels the caller filters out are never checked.)"""
+    if encoding not in ("cdr", ""):
+        raise IOError(
+            f"mcap: channel {topic!r} is {encoding!r}-encoded; only 'cdr' "
+            f"(rosbag2) is supported — a ros1-in-mcap capture must be "
+            f"read from the original .bag (io/rosbag.py reads it directly)")
+
+
 def read_messages(path: str, topics: Optional[Iterable[str]] = None,
-                  ) -> Iterator[Tuple[str, str, float, bytes]]:
+                  ) -> Iterator[Tuple[str, str, float, bytes, str]]:
     """Linear scan: yields (topic, schema_name, log_time_seconds,
-    raw_CDR_payload) in file order.  Indexes and the summary section are
-    skipped; schemas/channels register as encountered (inside or outside
-    chunks, as the spec allows)."""
+    raw_payload, message_encoding) in file order.  Indexes and the
+    summary section are skipped; schemas/channels register as encountered
+    (inside or outside chunks, as the spec allows).  Callers must
+    check_cdr() before CDR-decoding a payload."""
     want = set(topics) if topics is not None else None
     schemas: Dict[int, str] = {}
-    channels: Dict[int, Tuple[str, str]] = {}   # id -> (topic, schema name)
+    # channel id -> (topic, schema name, message_encoding)
+    channels: Dict[int, Tuple[str, str, str]] = {}
 
     def handle(op: int, content: bytes):
         if op == _OP_SCHEMA:
@@ -110,15 +125,16 @@ def read_messages(path: str, topics: Optional[Iterable[str]] = None,
         if op == _OP_CHANNEL:
             sid_ch, sid_schema = struct.unpack_from("<HH", content, 0)
             topic, off = _read_str(content, 4)
-            channels[sid_ch] = (topic, schemas.get(sid_schema, ""))
+            encoding, _ = _read_str(content, off)
+            channels[sid_ch] = (topic, schemas.get(sid_schema, ""), encoding)
             return None
         if op == _OP_MESSAGE:
             (ch, _seq, log_t, _pub_t) = struct.unpack_from("<HIQQ", content, 0)
             if ch not in channels:
                 raise IOError(f"mcap: message for unknown channel {ch}")
-            topic, schema = channels[ch]
+            topic, schema, encoding = channels[ch]
             if want is None or topic in want:
-                return topic, schema, log_t * 1e-9, content[22:]
+                return topic, schema, log_t * 1e-9, content[22:], encoding
         return None
 
     with open(path, "rb") as f:
@@ -238,31 +254,9 @@ def parse_pointcloud2_cdr(payload: bytes) -> Tuple[float, np.ndarray]:
     row_step = c.u32()
     data = c.bytes_seq()
     # is_dense follows; NaNs are fine downstream
-    if is_bigendian:
-        raise IOError("mcap: big-endian PointCloud2 not supported")
-    by_name = {name: (foff, dt) for name, foff, dt, _ in fields}
-    missing = [k for k in ("x", "y", "z") if k not in by_name]
-    if missing:
-        raise IOError(f"mcap: PointCloud2 lacks {missing} fields")
-    offs = [by_name[k][0] for k in ("x", "y", "z")]
-    fmts = []
-    for k in ("x", "y", "z"):
-        code = by_name[k][1]
-        if code not in _PF_DTYPES:
-            raise IOError(f"mcap: unsupported PointField datatype {code}")
-        fmts.append(_PF_DTYPES[code])
-    rec_dt = np.dtype({"names": ["x", "y", "z"], "formats": fmts,
-                       "offsets": offs, "itemsize": point_step})
-    if height > 1 and row_step != width * point_step:
-        rows = [data[r * row_step: r * row_step + width * point_step]
-                for r in range(height)]
-        data = b"".join(rows)
-    n = height * width
-    rec = np.frombuffer(data, dtype=rec_dt, count=n)
-    pts = np.empty((n, 3), np.float32)
-    pts[:, 0] = rec["x"]
-    pts[:, 1] = rec["y"]
-    pts[:, 2] = rec["z"]
+    pts = rosbag.xyz_from_pointcloud_fields(
+        fields, is_bigendian, point_step, row_step, height, width, data,
+        src="mcap")
     return stamp, pts
 
 
@@ -282,17 +276,23 @@ def read_bag_mcap(path: str, cloud_topic: Optional[str] = None,
                   ) -> Tuple[List[Tuple[float, np.ndarray]],
                              List[Tuple[float, np.ndarray, np.ndarray]]]:
     """(clouds, poses) from an MCAP file — same contract as
-    io.rosbag.read_bag (which routes here on the MCAP magic)."""
-    clouds: List[Tuple[float, np.ndarray]] = []
-    poses: List[Tuple[float, np.ndarray, np.ndarray]] = []
-    for topic, schema, log_t, raw in read_messages(path):
+    io.rosbag.read_bag (which routes here on the MCAP magic), including
+    the several-topics-match-the-type error (require_single_topic)."""
+    clouds: Dict[str, List[Tuple[float, np.ndarray]]] = {}
+    poses: Dict[str, List[Tuple[float, np.ndarray, np.ndarray]]] = {}
+    for topic, schema, log_t, raw, encoding in read_messages(path):
         if schema in CLOUD_TYPES and cloud_topic in (None, topic):
+            check_cdr(topic, encoding)
             stamp, pts = parse_pointcloud2_cdr(raw)
-            clouds.append((stamp or log_t, pts))
+            clouds.setdefault(topic, []).append((stamp or log_t, pts))
         elif schema in POSE_TYPES and pose_topic in (None, topic):
+            check_cdr(topic, encoding)
             stamp, pos, quat = parse_pose_cdr(raw, schema)
-            poses.append((stamp or log_t, pos, quat))
-    return clouds, poses
+            poses.setdefault(topic, []).append((stamp or log_t, pos, quat))
+    return (rosbag.require_single_topic(clouds, "PointCloud2", path,
+                                        "cloud_topic= (--cloud-topic)"),
+            rosbag.require_single_topic(poses, "pose", path,
+                                        "pose_topic= (--pose-topic)"))
 
 
 # ---------------------------------------------------------------- writer

@@ -195,12 +195,50 @@ def _read_header(data: bytes, off: int) -> Tuple[float, int]:
     return secs + nsecs * 1e-9, off
 
 
+def xyz_from_pointcloud_fields(fields, is_bigendian: int, point_step: int,
+                               row_step: int, height: int, width: int,
+                               data: bytes, src: str = "rosbag",
+                               ) -> np.ndarray:
+    """Common tail of the PointCloud2 decode, shared by the ROS1 (this
+    module) and CDR (io/mcap.py) parsers: pick the x/y/z fields out of an
+    arbitrary field layout -> (N, 3) float32.  Handles arbitrary field
+    offsets/dtypes, organized clouds (height > 1), and row padding
+    (row_step > width * point_step); extra fields (intensity, rgb, ...)
+    are ignored.  Big-endian clouds are rejected (none of the supported
+    sensors produce them).  ``fields`` is [(name, offset, datatype_code,
+    count)]."""
+    if is_bigendian:
+        raise IOError(f"{src}: big-endian PointCloud2 not supported")
+    by_name = {name: (foffset, dtype) for name, foffset, dtype, _ in fields}
+    missing = [k for k in ("x", "y", "z") if k not in by_name]
+    if missing:
+        raise IOError(f"{src}: PointCloud2 lacks {missing} fields")
+    offs = [by_name[k][0] for k in ("x", "y", "z")]
+    fmts = []
+    for k in ("x", "y", "z"):
+        code = by_name[k][1]
+        if code not in _PF_DTYPES:
+            raise IOError(f"{src}: unsupported PointField datatype {code}")
+        fmts.append(_PF_DTYPES[code])
+    rec_dt = np.dtype({"names": ["x", "y", "z"], "formats": fmts,
+                       "offsets": offs, "itemsize": point_step})
+    if height > 1 and row_step != width * point_step:
+        # row-padded organized cloud: strip the padding row by row
+        rows = [data[r * row_step: r * row_step + width * point_step]
+                for r in range(height)]
+        data = b"".join(rows)
+    n = height * width
+    rec = np.frombuffer(data, dtype=rec_dt, count=n)
+    pts = np.empty((n, 3), np.float32)
+    pts[:, 0] = rec["x"]
+    pts[:, 1] = rec["y"]
+    pts[:, 2] = rec["z"]
+    return pts
+
+
 def parse_pointcloud2(data: bytes) -> Tuple[float, np.ndarray]:
     """Deserialize sensor_msgs/PointCloud2 -> (header stamp, (N, 3) xyz
-    float32).  Handles arbitrary x/y/z field offsets/dtypes, organized
-    clouds (height > 1), and row padding (row_step > width * point_step);
-    extra fields (intensity, rgb, ...) are ignored.  Big-endian clouds are
-    rejected (none of the supported sensors produce them)."""
+    float32) via xyz_from_pointcloud_fields."""
     stamp, off = _read_header(data, 0)
     height, width, nfields = struct.unpack_from("<III", data, off)
     off += 12
@@ -216,32 +254,8 @@ def parse_pointcloud2(data: bytes) -> Tuple[float, np.ndarray]:
     off += 4
     cloud = data[off:off + dlen]
     # is_dense (1 byte) follows; NaN points are handled by preproc anyway
-    if is_bigendian:
-        raise IOError("rosbag: big-endian PointCloud2 not supported")
-    by_name = {name: (foffset, dtype) for name, foffset, dtype, _ in fields}
-    missing = [k for k in ("x", "y", "z") if k not in by_name]
-    if missing:
-        raise IOError(f"rosbag: PointCloud2 lacks {missing} fields")
-    offs = [by_name[k][0] for k in ("x", "y", "z")]
-    fmts = []
-    for k in ("x", "y", "z"):
-        code = by_name[k][1]
-        if code not in _PF_DTYPES:
-            raise IOError(f"rosbag: unsupported PointField datatype {code}")
-        fmts.append(_PF_DTYPES[code])
-    rec_dt = np.dtype({"names": ["x", "y", "z"], "formats": fmts,
-                       "offsets": offs, "itemsize": point_step})
-    if height > 1 and row_step != width * point_step:
-        # row-padded organized cloud: strip the padding row by row
-        rows = [cloud[r * row_step: r * row_step + width * point_step]
-                for r in range(height)]
-        cloud = b"".join(rows)
-    n = height * width
-    rec = np.frombuffer(cloud, dtype=rec_dt, count=n)
-    pts = np.empty((n, 3), np.float32)
-    pts[:, 0] = rec["x"]
-    pts[:, 1] = rec["y"]
-    pts[:, 2] = rec["z"]
+    pts = xyz_from_pointcloud_fields(fields, is_bigendian, point_step,
+                                     row_step, height, width, cloud)
     return stamp, pts
 
 
@@ -263,6 +277,24 @@ def parse_pose(data: bytes, msg_type: str
 
 # ----------------------------------------------------------- high level
 
+def require_single_topic(by_topic: Dict[str, list], kind: str, path: str,
+                         flag: str) -> list:
+    """Shared (ROS1 + MCAP) ambiguity guard: a bag recorded with
+    ``rosbag record -a`` while the reference node ran carries /tof_pc PLUS
+    the node's own republished PointCloud2 topics (filtered_pointcloud,
+    hough_pointcloud — node.cpp:417-420/823-841), and mavros publishes
+    pose on several topics.  Silently merging them would feed
+    already-filtered clouds back in as raw frames and interleave pose
+    sources — a silently wrong world map — so more than one matching
+    topic is an error naming the candidates."""
+    if len(by_topic) > 1:
+        raise IOError(
+            f"{os.path.basename(path)}: {len(by_topic)} topics carry "
+            f"{kind} messages ({sorted(by_topic)}); merging them would be "
+            f"silently wrong — pick one with {flag}")
+    return next(iter(by_topic.values()), [])
+
+
 def read_bag(path: str, cloud_topic: Optional[str] = None,
              pose_topic: Optional[str] = None,
              ) -> Tuple[List[Tuple[float, np.ndarray]],
@@ -271,8 +303,11 @@ def read_bag(path: str, cloud_topic: Optional[str] = None,
     (ROS2), dispatched on the file magic.
 
     clouds: [(t, (N, 3) float32 xyz)];  poses: [(t, position, quat_wxyz)].
-    Topics default to ANY topic of the matching type (`/tof_pc` and the
-    mocap/mavros pose in the reference's recordings); timestamps are the
+    Each topic defaults to THE topic of the matching type (`/tof_pc` and
+    the mocap/mavros pose in the reference's recordings); if several
+    topics match — e.g. a ``rosbag record -a`` capture that also holds the
+    node's republished clouds — the read errors and names them rather
+    than silently merging (see require_single_topic).  Timestamps are the
     message header stamps (the value TF association uses), falling back to
     the bag record time when a producer left the stamp zero."""
     from . import mcap
@@ -281,16 +316,19 @@ def read_bag(path: str, cloud_topic: Optional[str] = None,
         head = f.read(len(mcap.MAGIC))
     if head == mcap.MAGIC:
         return mcap.read_bag_mcap(path, cloud_topic, pose_topic)
-    clouds: List[Tuple[float, np.ndarray]] = []
-    poses: List[Tuple[float, np.ndarray, np.ndarray]] = []
+    clouds: Dict[str, List[Tuple[float, np.ndarray]]] = {}
+    poses: Dict[str, List[Tuple[float, np.ndarray, np.ndarray]]] = {}
     for topic, mtype, rec_t, raw in read_messages(path):
         if mtype == CLOUD_TYPE and cloud_topic in (None, topic):
             stamp, pts = parse_pointcloud2(raw)
-            clouds.append((stamp or rec_t, pts))
+            clouds.setdefault(topic, []).append((stamp or rec_t, pts))
         elif mtype in POSE_TYPES and pose_topic in (None, topic):
             stamp, pos, quat = parse_pose(raw, mtype)
-            poses.append((stamp or rec_t, pos, quat))
-    return clouds, poses
+            poses.setdefault(topic, []).append((stamp or rec_t, pos, quat))
+    return (require_single_topic(clouds, "PointCloud2", path,
+                                 "cloud_topic= (--cloud-topic)"),
+            require_single_topic(poses, "pose", path,
+                                 "pose_topic= (--pose-topic)"))
 
 
 def bag_to_frames(path: str, cloud_topic: Optional[str] = None,

@@ -119,3 +119,62 @@ def test_mcap_engine_end_to_end(tmp_path):
                "--out", str(tmp_path / "o"), "--granularity", "2"])
     assert rc == 0
     assert (tmp_path / "o" / "segments.csv").exists()
+
+
+def _two_cloud_topic_mcap(path, frames, enc1="cdr", enc2="cdr"):
+    """Minimal MCAP with TWO PointCloud2 channels (/tof_pc + the node's
+    republished filtered cloud) — the record-everything capture shape."""
+    with open(path, "wb") as f:
+        f.write(mcap.MAGIC)
+        f.write(mcap._rec(mcap._OP_HEADER,
+                          mcap._mstr("ros2") + mcap._mstr("test")))
+        f.write(mcap._rec(mcap._OP_SCHEMA, struct.pack("<H", 1)
+                          + mcap._mstr("sensor_msgs/msg/PointCloud2")
+                          + mcap._mstr("ros2msg") + struct.pack("<I", 0)))
+        for ch, (topic, enc) in ((1, ("/tof_pc", enc1)),
+                                 (2, ("/filtered_pointcloud", enc2))):
+            f.write(mcap._rec(mcap._OP_CHANNEL, struct.pack("<HH", ch, 1)
+                              + mcap._mstr(topic) + mcap._mstr(enc)
+                              + struct.pack("<I", 0)))
+        for seq, fr in enumerate(frames):
+            ns = int(round(fr.t * 1e9))
+            payload = mcap._cdr_pointcloud2(fr.t, fr.points)
+            for ch in (1, 2):
+                f.write(mcap._rec(mcap._OP_MESSAGE,
+                                  struct.pack("<HIQQ", ch, seq, ns, ns)
+                                  + payload))
+        f.write(mcap._rec(mcap._OP_DATA_END, struct.pack("<I", 0)))
+        f.write(mcap._rec(mcap._OP_FOOTER, struct.pack("<QQI", 0, 0, 0)))
+        f.write(mcap.MAGIC)
+
+
+def test_two_cloud_topics_error_not_merge(tmp_path):
+    """A record-everything capture holds /tof_pc PLUS the node's
+    republished clouds (node.cpp:417-420/823-841); merging them would
+    feed filtered clouds back in as raw frames — must error, naming the
+    topics, unless --cloud-topic picks one."""
+    frames = _sim_frames(2)
+    path = str(tmp_path / "two.mcap")
+    _two_cloud_topic_mcap(path, frames)
+    with pytest.raises(IOError, match="filtered_pointcloud.*cloud-topic|"
+                                      "cloud-topic"):
+        mcap.read_bag_mcap(path)
+    clouds, poses = mcap.read_bag_mcap(path, cloud_topic="/tof_pc")
+    assert len(clouds) == 2 and poses == []
+    # the same guard through the magic-dispatched entry point
+    with pytest.raises(IOError, match="2 topics"):
+        rosbag.read_bag(path)
+
+
+def test_ros1_encoded_channel_rejected(tmp_path):
+    """`mcap convert flight.bag` keeps ROS1 serialization under the same
+    schema names; decoding it as CDR silently mis-parses — a non-cdr
+    channel of interest must be a clear error."""
+    frames = _sim_frames(1)
+    path = str(tmp_path / "ros1enc.mcap")
+    _two_cloud_topic_mcap(path, frames, enc1="ros1", enc2="cdr")
+    with pytest.raises(IOError, match="ros1.*encoded|'ros1'"):
+        mcap.read_bag_mcap(path, cloud_topic="/tof_pc")
+    # ...but a topic filter that excludes the ros1 channel reads fine
+    clouds, _ = mcap.read_bag_mcap(path, cloud_topic="/filtered_pointcloud")
+    assert len(clouds) == 1

@@ -193,3 +193,22 @@ def test_cli_record_bag_conversion(tmp_path, capsys):
     assert len(back) == 2
     np.testing.assert_array_equal(back[0].points,
                                   np.asarray(frames[0].points, np.float32))
+
+
+def test_require_single_topic_guard():
+    """Shared ambiguity guard (ROS1 + MCAP): several topics of the same
+    type error with the candidate list instead of silently merging (a
+    record-everything capture holds /tof_pc plus the node's republished
+    clouds, node.cpp:417-420/823-841)."""
+    import pytest
+
+    one = {"/tof_pc": [1, 2]}
+    assert rosbag.require_single_topic(one, "PointCloud2", "f.bag",
+                                       "--cloud-topic") == [1, 2]
+    assert rosbag.require_single_topic({}, "pose", "f.bag",
+                                       "--pose-topic") == []
+    two = {"/tof_pc": [1], "/filtered_pointcloud": [2]}
+    with pytest.raises(IOError, match="2 topics.*filtered_pointcloud"
+                                      "|filtered_pointcloud"):
+        rosbag.require_single_topic(two, "PointCloud2", "f.bag",
+                                    "--cloud-topic")
