@@ -345,14 +345,23 @@ def bench_streaming_viz(cfg, frames, rate=100.0, loops=3):
     t0 = time.perf_counter()
     stats = eng.run_streaming_from_log(log_path, rate_hz=rate, loops=loops)
     dt = time.perf_counter() - t0
+    # count flush-cadence records only: the pre-start warmup frame above
+    # emitted one synchronous per-frame record into the same file
     with open(viz_path) as f:
-        viz_records = sum(1 for _ in f)
+        viz_records = sum(1 for line in f
+                          if json.loads(line).get("viz_cadence") == "flush")
     return {
         "rate_hz": rate,
         "processed_per_sec": round(stats["processed"] / dt, 2),
         "drop_fraction": round(stats["dropped"] / max(stats["fed"], 1), 3),
         "viz_records": viz_records,
         "deferred_path": True,
+        # same weather self-reporting as the bench_streaming rows: a
+        # wedged relay read inflates drain_s and deflates the rate
+        "journal_resets": stats["journal_resets"],
+        "flush_batches_shed": stats["flush_batches_shed"],
+        "feed_s": stats["feed_s"],
+        "drain_s": stats["drain_s"],
     }
 
 

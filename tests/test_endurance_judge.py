@@ -110,3 +110,31 @@ def test_run_shorter_than_cadence_judged_whole():
     windows = [w(rss=300 + i * 10) for i in range(4)]
     v = judge(windows)
     assert v["rss_judgment_start_window"] == 0, v
+
+
+def test_wedge_tail_does_not_degrade():
+    """A relay read wedge (measured up to 357 s) spanning the LAST
+    several fed windows must read as weather (outage_windows), not
+    sustained decay: the trailing median skips wedge-classified windows
+    (max_flush_read_ms above the engine's 3 s threshold)."""
+    windows = [w() for _ in range(10)]
+    for _ in range(6):
+        c = w(rate_ps=3.0)
+        c["max_flush_read_ms"] = 250000.0
+        windows.append(c)
+    windows.append(w())   # partial tail dropped by the judge
+    v = judge(windows)
+    assert not v["degraded"], v
+    assert v["outage_windows"] == 6, v
+
+
+def test_all_tail_wedged_insufficient_signal():
+    # fewer than 3 clean windows total -> no degradation verdict at all
+    windows = []
+    for i in range(8):
+        c = w(rate_ps=3.0)
+        c["max_flush_read_ms"] = 99000.0
+        windows.append(c)
+    windows.append(w(rate_ps=3.0))
+    v = judge(windows)
+    assert not v["degraded"], v

@@ -63,9 +63,14 @@ def judge_windows(windows, cadence, rate, window_s=30.0):
     - Drops the final partial window, then trailing DRAIN windows (feed
       ended; a wedged tail read can hold the runner alive for minutes at
       ~0 fed/s) — shutdown latency, not stream throughput.
-    - ``degraded``: trailing five-window median < 85% of the run median
-      (sustained decay — compile storms, queue leaks; a single transient
-      relay outage or stormy-chip window cannot flag it).
+    - ``degraded``: trailing five-window median < 85% of the run median,
+      computed over the last five windows NOT attributable to a relay
+      read wedge (max_flush_read_ms > 3 s — the engine's own wedge
+      threshold).  Sustained decay means compile storms or queue leaks;
+      a relay outage is host-side weather, already counted in
+      ``outage_windows``, and a 357 s wedge (the measured maximum) can
+      span >5 trailing windows, so merely taking the literal last five
+      would flag a healthy run.
     - ``leaked``: RSS window-MINIMA floor rising across halves of the
       STEADY region.  Minima, because point samples swing with XLA
       scratch buffers; steady region starts after one full journal-reset
@@ -80,9 +85,15 @@ def judge_windows(windows, cadence, rate, window_s=30.0):
     rates_seen = sorted(c["processed_per_sec"] for c in full)
     median = rates_seen[len(rates_seen) // 2] if rates_seen else 0.0
     last = full[-1]["processed_per_sec"] if full else 0.0
-    tail = sorted(c["processed_per_sec"] for c in full[-5:])
+    # trailing median over non-wedged windows only (see docstring): a
+    # window whose slowest flusher read crossed the engine's 3 s wedge
+    # threshold is relay weather, not code decay
+    unwedged = [c for c in full
+                if c.get("max_flush_read_ms", 0.0) <= 3000.0]
+    tail = sorted(c["processed_per_sec"] for c in unwedged[-5:])
     tail_median = tail[len(tail) // 2] if tail else 0.0
-    degraded = len(full) >= 6 and tail_median < 0.85 * median
+    degraded = (len(full) >= 6 and len(tail) >= 3
+                and tail_median < 0.85 * median)
     start = 0
     if cadence:
         cum = 0

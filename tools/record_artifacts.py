@@ -9,7 +9,12 @@ each result must be accepted only if the run itself stayed quiet (the
 bench rows self-report device time for exactly this purpose).
 
     python tools/record_artifacts.py [--bench] [--endurance] \
-        [--minutes 30] [--cadence 1024] [--quiet-ms 9.5]
+        [--minutes 30] [--cadence N] [--quiet-ms 9.5]
+
+``--cadence`` defaults to the engine's own journal-reset default (4096 —
+the deployed configuration is what the artifact must evidence); pass a
+smaller value only for a deliberate reset-machinery stress run, and say
+so when committing the artifact.
 
 Runs unattended: probes chip weather every ~8 min; when quiet, runs the
 next stage as a subprocess (plain python -> axon TPU; NEVER killed or
@@ -45,12 +50,20 @@ def probe_ms():
     return float(m.group(1)) if m else None
 
 
-def wait_quiet(quiet_ms):
+def wait_quiet(quiet_ms, max_failed_probes=6):
+    failed = 0
     while True:
         ms = probe_ms()
         log(f"weather probe: {ms} ms/frame (quiet < {quiet_ms})")
         if ms is not None and ms < quiet_ms:
             return ms
+        # a probe that returns no number at all (stale TPU claim, relay
+        # down) must not spin the unattended recorder forever
+        failed = failed + 1 if ms is None else 0
+        if failed >= max_failed_probes:
+            raise RuntimeError(
+                f"{max_failed_probes} consecutive weather probes failed "
+                f"(no device_ms_per_frame in output) — TPU unreachable?")
         time.sleep(PROBE_PERIOD_S)
 
 
@@ -82,11 +95,12 @@ def run_bench(quiet_ms):
 def run_endurance(minutes, cadence):
     """30-min production soak; accept on the tool's own exit 0."""
     out = os.path.join(REPO, "ENDURANCE_r04.json")
-    log(f"endurance: starting {minutes} min @ 30 Hz g4 cadence {cadence}")
-    p = subprocess.run(
-        [sys.executable, "tools/endurance.py", str(minutes), "30", "4",
-         str(cadence)],
-        cwd=REPO, capture_output=True, text=True)
+    log(f"endurance: starting {minutes} min @ 30 Hz g4 cadence "
+        f"{cadence if cadence is not None else 'engine-default'}")
+    cmd = [sys.executable, "tools/endurance.py", str(minutes), "30", "4"]
+    if cadence is not None:
+        cmd.append(str(cadence))
+    p = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
     sys.stdout.write(p.stdout[-8000:])
     sys.stderr.write(p.stderr[-2000:])
     lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
@@ -112,7 +126,7 @@ def main():
     minutes = float(args[args.index("--minutes") + 1]) \
         if "--minutes" in args else 30.0
     cadence = int(args[args.index("--cadence") + 1]) \
-        if "--cadence" in args else 1024
+        if "--cadence" in args else None
     quiet_ms = float(args[args.index("--quiet-ms") + 1]) \
         if "--quiet-ms" in args else 9.5
 
