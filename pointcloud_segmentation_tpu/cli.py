@@ -334,6 +334,37 @@ def cmd_timing(args) -> int:
     return 0
 
 
+def cmd_baginfo(args) -> int:
+    """`rosbag info` analog for --bag inputs: per-topic type/count/time
+    span, plus which topics the ingestion would pick (or why it would
+    refuse — see io.rosbag.require_single_topic)."""
+    from .io.rosbag import CLOUD_TYPE, POSE_TYPES, bag_info
+    from .io import mcap as _mcap
+
+    info = bag_info(args.bag)
+    topics = info["topics"]
+    print(f"{args.bag}: {info['format']}, {len(topics)} topics")
+    for topic in sorted(topics):
+        d = topics[topic]
+        enc = f" [{d['encoding']}]" if d.get("encoding") else ""
+        print(f"  {topic}  {d['type']}{enc}  {d['count']} msgs  "
+              f"t=[{d['t_min']:.3f}, {d['t_max']:.3f}]")
+    cloud_types = set(_mcap.CLOUD_TYPES) | {CLOUD_TYPE}
+    pose_types = set(_mcap.POSE_TYPES) | set(POSE_TYPES)
+    clouds = sorted(t for t, d in topics.items() if d["type"] in cloud_types)
+    poses = sorted(t for t, d in topics.items() if d["type"] in pose_types)
+    for kind, flag, names in (("clouds", "--cloud-topic", clouds),
+                              ("poses", "--pose-topic", poses)):
+        if len(names) == 1:
+            print(f"{kind}: {names[0]}")
+        elif not names:
+            print(f"{kind}: NONE (no matching topic)")
+        else:
+            print(f"{kind}: AMBIGUOUS — pass {flag} "
+                  f"(candidates: {', '.join(names)})")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="pointcloud_segmentation_tpu",
                                  description=__doc__,
@@ -480,6 +511,12 @@ def main(argv=None) -> int:
     pt.add_argument("processing_time_csv")
     pt.add_argument("--plots", action="store_true")
     pt.set_defaults(fn=cmd_timing)
+
+    pb = sub.add_parser("bag-info", help="per-topic summary of a recorded "
+                                         "ROS1 .bag / ROS2 .mcap "
+                                         "(`rosbag info` analog)")
+    pb.add_argument("bag")
+    pb.set_defaults(fn=cmd_baginfo)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -295,6 +295,38 @@ def require_single_topic(by_topic: Dict[str, list], kind: str, path: str,
     return next(iter(by_topic.values()), [])
 
 
+def bag_info(path: str) -> Dict[str, object]:
+    """Per-topic summary of a recorded bag (ROS1 v2.0 or MCAP, dispatched
+    on the file magic) — the `rosbag info` analog backing `pcs-tpu
+    bag-info`, and the companion to require_single_topic's "pick one"
+    error: it shows what there is to pick.  Returns {"format", "topics":
+    {topic: {"type", "count", "t_min", "t_max"[, "encoding"]}}} with
+    times from the record/log clock (not header stamps — no payload
+    decode, so this scans fast and works on unknown types too)."""
+    from . import mcap
+
+    with open(path, "rb") as f:
+        is_mcap = f.read(len(mcap.MAGIC)) == mcap.MAGIC
+    topics: Dict[str, Dict[str, object]] = {}
+
+    def tally(topic, mtype, t, encoding=None):
+        d = topics.setdefault(topic, {
+            "type": mtype, "count": 0, "t_min": t, "t_max": t})
+        d["count"] += 1
+        d["t_min"] = min(d["t_min"], t)
+        d["t_max"] = max(d["t_max"], t)
+        if encoding is not None:
+            d["encoding"] = encoding
+
+    if is_mcap:
+        for topic, schema, t, _raw, enc in mcap.read_messages(path):
+            tally(topic, schema, t, enc)
+    else:
+        for topic, mtype, t, _raw in read_messages(path):
+            tally(topic, mtype, t)
+    return {"format": "mcap" if is_mcap else "rosbag", "topics": topics}
+
+
 def read_bag(path: str, cloud_topic: Optional[str] = None,
              pose_topic: Optional[str] = None,
              ) -> Tuple[List[Tuple[float, np.ndarray]],

@@ -178,3 +178,22 @@ def test_ros1_encoded_channel_rejected(tmp_path):
     # ...but a topic filter that excludes the ros1 channel reads fine
     clouds, _ = mcap.read_bag_mcap(path, cloud_topic="/filtered_pointcloud")
     assert len(clouds) == 1
+
+
+def test_bag_info_mcap_ambiguous(tmp_path, capsys):
+    """bag-info on a two-cloud-topic MCAP reports the ambiguity and the
+    candidates (what require_single_topic tells the user to resolve)."""
+    from pointcloud_segmentation_tpu.cli import main
+    from pointcloud_segmentation_tpu.io.rosbag import bag_info
+
+    frames = _sim_frames(2)
+    path = str(tmp_path / "two.mcap")
+    _two_cloud_topic_mcap(path, frames)
+    info = bag_info(path)
+    assert info["format"] == "mcap"
+    assert set(info["topics"]) == {"/tof_pc", "/filtered_pointcloud"}
+    assert info["topics"]["/tof_pc"]["encoding"] == "cdr"
+    rc = main(["bag-info", path])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "AMBIGUOUS" in out and "--cloud-topic" in out

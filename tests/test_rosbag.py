@@ -212,3 +212,25 @@ def test_require_single_topic_guard():
                                       "|filtered_pointcloud"):
         rosbag.require_single_topic(two, "PointCloud2", "f.bag",
                                     "--cloud-topic")
+
+
+def test_bag_info_and_cli(tmp_path, capsys):
+    """bag_info / `pcs-tpu bag-info`: per-topic summary + which topics the
+    ingestion would pick — the companion to the ambiguity error."""
+    from pointcloud_segmentation_tpu.cli import main
+    from pointcloud_segmentation_tpu.io.rosbag import bag_info
+
+    frames = _sim_frames(3)
+    bag = str(tmp_path / "b.bag")
+    rosbag.frames_to_bag(bag, frames)
+    info = bag_info(bag)
+    assert info["format"] == "rosbag"
+    assert info["topics"]["/tof_pc"]["count"] == 3
+    assert info["topics"]["/tof_pc"]["type"] == "sensor_msgs/PointCloud2"
+    assert (info["topics"]["/mavros/local_position/pose"]["type"]
+            == "geometry_msgs/PoseStamped")
+    rc = main(["bag-info", bag])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "clouds: /tof_pc" in out
+    assert "poses: /mavros/local_position/pose" in out
