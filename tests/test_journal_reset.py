@@ -345,3 +345,45 @@ def test_auto_default_on_when_relay_active(monkeypatch):
     monkeypatch.setattr(relay, "reset_supported", lambda: True)
     eng = SegmentationEngine(CFG, backend="jax")
     assert eng.journal_reset_every == eng._JOURNAL_RESET_EVERY_DEFAULT
+
+
+def test_drain_loop_escapes_midway_wedge(monkeypatch):
+    """Regression: the pre-reset drain's wedge check ran ONCE before the
+    spin loop — a flusher read that parked AFTER the check (wedges grow
+    from 0 s) stalled the worker for the whole 10-357 s park.  The loop
+    now re-checks the wedge predicate and bails out, deferring the reset
+    (cadence anchor untouched) instead of spinning.  Driven directly:
+    an unfinished flush task that never completes + a wedge timestamp
+    appearing mid-spin must return promptly WITHOUT resetting."""
+    import queue
+
+    calls = {"reset": 0}
+    monkeypatch.setattr(relay, "journal_reset",
+                        lambda: calls.__setitem__("reset", calls["reset"] + 1)
+                        or True)
+
+    eng = SegmentationEngine(CFG, backend="jax", stream_sync_every=2,
+                             journal_reset_every=4)
+    assert eng._stream_deferred
+    # never start(): no flusher thread, so the queued task below stays
+    # unfinished forever — the drain can only exit via the wedge escape
+    eng._flush_q = queue.Queue()
+    eng._flush_q.put(([], None))
+    eng._pending = []
+    eng._running = True
+    eng.frames_processed = 100          # far past the cadence
+    eng._read_started_mono = None       # pre-drain check passes
+
+    def set_wedge_soon():
+        time.sleep(0.15)
+        eng._read_started_mono = time.monotonic() - 10.0   # > 3 s: wedged
+
+    threading.Thread(target=set_wedge_soon, daemon=True).start()
+    t = threading.Thread(target=eng._maybe_journal_reset, daemon=True)
+    t.start()
+    t.join(timeout=10.0)
+    assert not t.is_alive(), "drain loop spun through a mid-drain wedge"
+    assert calls["reset"] == 0 and eng.journal_resets == 0
+    # anchor untouched: the reset retries as soon as reads recover
+    assert eng._last_reset_processed == 0
+    eng._running = False
