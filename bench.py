@@ -316,6 +316,7 @@ def bench_streaming(cfg, frames, rates=(30.0, 100.0, 200.0), loops=3):
             # drain_s (and deflates processed_per_sec) — see docs/PERF.md
             "journal_resets": stats["journal_resets"],
             "flush_batches_shed": stats["flush_batches_shed"],
+            "feed_s": stats["feed_s"],
             "drain_s": stats["drain_s"],
         }
     return out
