@@ -290,9 +290,11 @@ def read_bag_mcap(path: str, cloud_topic: Optional[str] = None,
             stamp, pos, quat = parse_pose_cdr(raw, schema)
             poses.setdefault(topic, []).append((stamp or log_t, pos, quat))
     return (rosbag.require_single_topic(clouds, "PointCloud2", path,
-                                        "cloud_topic= (--cloud-topic)"),
+                                        "cloud_topic= (--cloud-topic)",
+                                        requested=cloud_topic),
             rosbag.require_single_topic(poses, "pose", path,
-                                        "pose_topic= (--pose-topic)"))
+                                        "pose_topic= (--pose-topic)",
+                                        requested=pose_topic))
 
 
 # ---------------------------------------------------------------- writer

@@ -278,7 +278,7 @@ def parse_pose(data: bytes, msg_type: str
 # ----------------------------------------------------------- high level
 
 def require_single_topic(by_topic: Dict[str, list], kind: str, path: str,
-                         flag: str) -> list:
+                         flag: str, requested: Optional[str] = None) -> list:
     """Shared (ROS1 + MCAP) ambiguity guard: a bag recorded with
     ``rosbag record -a`` while the reference node ran carries /tof_pc PLUS
     the node's own republished PointCloud2 topics (filtered_pointcloud,
@@ -286,12 +286,20 @@ def require_single_topic(by_topic: Dict[str, list], kind: str, path: str,
     pose on several topics.  Silently merging them would feed
     already-filtered clouds back in as raw frames and interleave pose
     sources — a silently wrong world map — so more than one matching
-    topic is an error naming the candidates."""
+    topic is an error naming the candidates.  The mirror hole is guarded
+    too: an EXPLICITLY ``requested`` topic that matched nothing (typo, or
+    a topic of a different message type) is an error, not a silent empty
+    run producing an empty-but-exit-0 segments.csv."""
     if len(by_topic) > 1:
         raise IOError(
             f"{os.path.basename(path)}: {len(by_topic)} topics carry "
             f"{kind} messages ({sorted(by_topic)}); merging them would be "
             f"silently wrong — pick one with {flag}")
+    if requested is not None and requested not in by_topic:
+        raise IOError(
+            f"{os.path.basename(path)}: requested topic {requested!r} "
+            f"({flag}) carries no {kind} messages in this bag — check the "
+            f"name and type with `pcs-tpu bag-info`")
     return next(iter(by_topic.values()), [])
 
 
@@ -358,9 +366,11 @@ def read_bag(path: str, cloud_topic: Optional[str] = None,
             stamp, pos, quat = parse_pose(raw, mtype)
             poses.setdefault(topic, []).append((stamp or rec_t, pos, quat))
     return (require_single_topic(clouds, "PointCloud2", path,
-                                 "cloud_topic= (--cloud-topic)"),
+                                 "cloud_topic= (--cloud-topic)",
+                                 requested=cloud_topic),
             require_single_topic(poses, "pose", path,
-                                 "pose_topic= (--pose-topic)"))
+                                 "pose_topic= (--pose-topic)",
+                                 requested=pose_topic))
 
 
 def bag_to_frames(path: str, cloud_topic: Optional[str] = None,

@@ -200,7 +200,11 @@ class SegmentationEngine:
         # tools/exp_concurrent_read.py).  That asymmetry is what lets the
         # streaming flush readback run on a dedicated flusher thread off
         # the dispatch critical path.  Lock order is ALWAYS
-        # _state_lock -> _read_lock; the flusher takes only _read_lock.
+        # _state_lock -> _read_lock, on EVERY thread: the flusher too
+        # takes _state_lock (flush-cadence viz pack dispatch,
+        # _ensure_state_packer) and may nest _state_lock -> _read_lock,
+        # but must NEVER take _read_lock -> _state_lock; the worker must
+        # never block on the flusher while holding _state_lock.
         self._read_lock = threading.Lock()
         self._flush_q: Optional["queue.Queue"] = None
         self._flusher: Optional[threading.Thread] = None
@@ -1007,7 +1011,7 @@ class SegmentationEngine:
                     self._read_started_mono = None
             st = self._state_unpack_host(vec)
             frame_no, t, position, quat = batch[-1][2]
-            wc, nl, status = (int(v) for v in vals[-1][:3])
+            nl, status = (int(v) for v in vals[-1][1:3])
             n = int(st.count)
             a = np.asarray(st.a, np.float64)[:n]
             b = np.asarray(st.b, np.float64)[:n]
@@ -1021,20 +1025,20 @@ class SegmentationEngine:
                  "radius": float(radius[i])}
                 for i in range(n)]
             inter = np.asarray(st.inter)[:n, :n]
-            spheres = []
-            for i in range(n):
-                for j in range(i):
-                    t1, t2 = inter[i, j]
-                    if t1 != -1.0 and t2 != -1.0:
-                        spheres.append({
-                            "position": (a[i] + float(t1) * b[i]).tolist(),
-                            "text": f"Intersection: {i} & {j}"})
+            spheres = [
+                {"position": (a[i] + t1 * b[i]).tolist(),
+                 "text": f"Intersection: {i} & {j}"}
+                for i, t1, j, _t2 in self._intersection_pairs(inter, n)]
             rec = {
                 "frame": int(frame_no),
                 "t": float(t),
                 "nlines": max(nl, 0),
                 "status": status,
-                "world_count": wc,
+                # from the SAME snapshot as the geometry: the batch's
+                # packed scalar can lag it (the worker keeps dispatching
+                # while this emit waits for an idle window), and the HUD
+                # renders world_count next to the cylinder list
+                "world_count": n,
                 "cylinders": cylinders,
                 "intersections": spheres,
                 # flush-cadence marker: one record summarizes the batch
@@ -1446,11 +1450,13 @@ class SegmentationEngine:
                  "pca_coeff": float(pca_coeff[i])}
                 for i in range(n)]
 
-    def _intersections_locked(self) -> List[tuple]:
-        """jax-backend intersection rows; caller holds _state_lock."""
-        st = self._state
-        n = int(np.asarray(st.count))
-        inter = np.asarray(st.inter)[:n, :n]
+    @staticmethod
+    def _intersection_pairs(inter: np.ndarray, n: int) -> List[tuple]:
+        """Upper-triangular scan of the (S, S, 2) intersection-parameter
+        plane: (i, t1, j, t2) per populated pair, (-1, -1) = empty
+        sentinel (worldmap.update_intersections).  The ONE place the
+        sentinel convention is decoded — the device-state reader and the
+        flush-cadence viz emit both go through it."""
         rows = []
         for i in range(n):
             for j in range(i):
@@ -1458,6 +1464,12 @@ class SegmentationEngine:
                 if t1 != -1.0 and t2 != -1.0:
                     rows.append((i, float(t1), j, float(t2)))
         return rows
+
+    def _intersections_locked(self) -> List[tuple]:
+        """jax-backend intersection rows; caller holds _state_lock."""
+        st = self._state
+        n = int(np.asarray(st.count))
+        return self._intersection_pairs(np.asarray(st.inter)[:n, :n], n)
 
     def _world_segments_oracle(self) -> List[dict]:
         """Oracle-backend segment rows; caller holds _state_lock (the

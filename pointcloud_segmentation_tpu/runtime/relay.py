@@ -78,14 +78,27 @@ def is_axon_platform() -> bool:
     journal_resets=0).  So key on what IS stable: the axon backend
     factory being registered (sitecustomize registers it exactly where
     the relay is the TPU path; tests/tools pop it when forcing CPU) and
-    the active backend being one the plugin produces."""
+    the active backend being one the plugin produces.
+
+    ``_backend_factories`` is a PRIVATE jax attr; if a jax upgrade moves
+    it, silently returning False would re-open the exact leak above — so
+    that case fails OPEN (and loud) on the relay's most stable marker,
+    the plugin .so being loadable (reset_supported)."""
     try:
         import jax
         from jax._src import xla_bridge
 
-        if "axon" not in getattr(xla_bridge, "_backend_factories", {}):
+        if jax.default_backend() not in ("axon", "tpu"):
             return False
-        return jax.default_backend() in ("axon", "tpu")
+        factories = getattr(xla_bridge, "_backend_factories", None)
+        if factories is not None:
+            return "axon" in factories
+        import warnings
+        warnings.warn(
+            "jax._src.xla_bridge._backend_factories is gone (jax "
+            "upgrade?) — relay detection falling back to the plugin .so "
+            "marker; update runtime/relay.py:is_axon_platform")
+        return reset_supported()
     except Exception:
         return False
 

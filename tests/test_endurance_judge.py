@@ -104,6 +104,27 @@ def test_short_run_never_flags():
     assert not v["leaked"] and not v["degraded"], v
 
 
+def test_steady_region_counts_processed_not_fed():
+    """The engine's reset counter ticks on PROCESSED frames
+    (engine._maybe_journal_reset), so on a saturating feed (~50% drops
+    by latest-wins design) the first journal reset — and with it the end
+    of the legitimate pre-reset RSS ramp — lands at cum(processed) ==
+    cadence, roughly twice as many windows in as cum(fed).  Judging from
+    the fed crossing would put the first-half minima on the ramp and
+    flag a healthy run as leaked."""
+    def sat(rss):
+        c = w(rate_ps=15.0, fed=900, rss=rss)
+        c["processed_in_window"] = 450
+        return c
+    # cum(fed) crosses 4096 at window 5; cum(processed) at window 10 —
+    # the ramp (through window 9) must be excluded from the baseline
+    windows = [sat(rss=302 + i * 30) for i in range(10)]
+    windows += [sat(rss=575 + (i % 3) * 8) for i in range(14)]
+    v = judge(windows)
+    assert v["rss_judgment_start_window"] == 10, v
+    assert not v["leaked"], v
+
+
 def test_run_shorter_than_cadence_judged_whole():
     # 3 full windows * 900 fed < 4096: no window reaches the cadence,
     # so judgment starts at 0 (and the <6-window guard keeps it calm)

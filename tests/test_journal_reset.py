@@ -334,6 +334,30 @@ def test_is_axon_platform_survives_platform_rename(monkeypatch):
     assert not relay.is_axon_platform()
 
 
+def test_is_axon_platform_fails_open_without_factory_dict(monkeypatch):
+    """``_backend_factories`` is a PRIVATE jax attr; a jax upgrade that
+    moves it must not silently return False (that re-opens the journal
+    leak with journal_resets=0 — the exact failure the factory check was
+    written against).  Instead: fall back, loudly, to the plugin .so
+    marker (reset_supported)."""
+    import warnings
+
+    import jax
+    from jax._src import xla_bridge
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delattr(xla_bridge, "_backend_factories")
+    for so_present in (True, False):
+        monkeypatch.setattr(relay, "reset_supported", lambda v=so_present: v)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            assert relay.is_axon_platform() is so_present
+        assert any("_backend_factories" in str(c.message) for c in caught)
+    # non-TPU backend still short-circuits before the fallback
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert not relay.is_axon_platform()
+
+
 def test_auto_default_on_when_relay_active(monkeypatch):
     """End-to-end: under the rebuilt plugin's identity ('tpu' + registered
     axon factory) the engine must default journal resets ON."""

@@ -34,6 +34,19 @@ def test_mcap_roundtrip(tmp_path):
         np.testing.assert_allclose(quat, fr.quat_wxyz, atol=1e-12)
 
 
+def test_mcap_requested_topic_matching_nothing_errors(tmp_path):
+    """Same explicit-topic-matched-nothing guard as the ROS1 reader: a
+    typo'd --cloud-topic against an MCAP bag errors instead of silently
+    producing zero frames."""
+    frames = _sim_frames(2)
+    path = str(tmp_path / "t.mcap")
+    mcap.frames_to_mcap(path, frames)
+    with pytest.raises(IOError, match="/typo.*no PointCloud2"):
+        mcap.read_bag_mcap(path, cloud_topic="/typo")
+    with pytest.raises(IOError, match="no pose"):
+        mcap.read_bag_mcap(path, pose_topic="/typo")
+
+
 def test_rosbag_read_bag_routes_mcap_by_magic(tmp_path):
     """The single --bag entry point accepts BOTH containers: read_bag
     sniffs the MCAP magic and dispatches (cli run --bag flight.mcap)."""

@@ -214,6 +214,26 @@ def test_require_single_topic_guard():
                                     "--cloud-topic")
 
 
+def test_requested_topic_matching_nothing_errors(tmp_path):
+    """The mirror of the ambiguity guard: an EXPLICITLY requested
+    --cloud-topic/--pose-topic that matches no messages (typo, or a topic
+    of a different message type) must error, not silently yield zero
+    frames and an empty-but-exit-0 segments.csv."""
+    frames = _sim_frames(2)
+    bag = str(tmp_path / "b.bag")
+    rosbag.frames_to_bag(bag, frames)
+    with pytest.raises(IOError, match="/tof_pc2.*no PointCloud2"):
+        rosbag.read_bag(bag, cloud_topic="/tof_pc2")
+    with pytest.raises(IOError, match="no pose"):
+        rosbag.read_bag(bag, pose_topic="/typo")
+    # pointing --cloud-topic at a pose-typed topic is the same error class
+    with pytest.raises(IOError, match="no PointCloud2"):
+        rosbag.read_bag(bag, cloud_topic="/mavros/local_position/pose")
+    # unfiltered defaults still read everything
+    clouds, poses = rosbag.read_bag(bag)
+    assert len(clouds) == 2 and len(poses) == 2
+
+
 def test_bag_info_and_cli(tmp_path, capsys):
     """bag_info / `pcs-tpu bag-info`: per-topic summary + which topics the
     ingestion would pick — the companion to the ambiguity error."""

@@ -183,11 +183,16 @@ def test_deferred_stream_viz_flush_cadence():
             atol=1e-6)
         assert c["radius"] == pytest.approx(s["radius"])
     assert len(last["intersections"]) == len(eng.intersections_rows())
-    # the player HUD contract (viz.py) — every key it renders is present
+    # the player HUD contract (viz.py) — every key it renders is present,
+    # and EVERY record is internally consistent: world_count comes from
+    # the same state snapshot as the geometry (the batch's packed scalar
+    # can lag the snapshot when the worker keeps dispatching while the
+    # emit waits for an idle window)
     for r in got:
         for key in ("frame", "t", "nlines", "status", "world_count",
                     "cylinders", "intersections", "drone"):
             assert key in r, key
+        assert r["world_count"] == len(r["cylinders"]), r["frame"]
 
 
 def test_viz_every_frame_forces_per_frame_records():

@@ -74,10 +74,14 @@ def judge_windows(windows, cadence, rate, window_s=30.0):
     - ``leaked``: RSS window-MINIMA floor rising across halves of the
       STEADY region.  Minima, because point samples swing with XLA
       scratch buffers; steady region starts after one full journal-reset
-      cadence of fed frames, because the relay journal legitimately ramps
-      ~55 KB/frame until the first reset reclaims it (the sawtooth's
-      rising edge — measured: diag6 at cadence 4096 flagged a healthy
-      ~550 MB plateau against its 302 MB warmup floor).
+      cadence of PROCESSED frames — the engine's reset counter ticks on
+      processed, not fed (engine._maybe_journal_reset), so on a
+      saturating feed (drops by latest-wins design) counting fed would
+      start the judgment while the journal is still on its pre-first-reset
+      ramp — because the relay journal legitimately ramps ~55 KB/frame
+      until the first reset reclaims it (the sawtooth's rising edge —
+      measured: diag6 at cadence 4096 flagged a healthy ~550 MB plateau
+      against its 302 MB warmup floor).
     """
     full = windows[:-1] if len(windows) > 1 else list(windows)
     while len(full) > 1 and full[-1]["fed_in_window"] < rate * window_s * 0.05:
@@ -98,7 +102,9 @@ def judge_windows(windows, cadence, rate, window_s=30.0):
     if cadence:
         cum = 0
         for i, c in enumerate(full):
-            cum += c["fed_in_window"]
+            # processed drives the engine's reset cadence; older window
+            # dicts (pre-r4 fixtures) only recorded fed
+            cum += c.get("processed_in_window", c["fed_in_window"])
             if cum >= cadence:
                 start = min(i + 1, max(len(full) - 1, 0))
                 break
@@ -192,6 +198,7 @@ def main() -> int:
         stall = eng.pop_stall_max()
         windows.append({
             "processed_per_sec": round((proc - last_proc) / dt, 2),
+            "processed_in_window": proc - last_proc,
             "fed_in_window": fed_delta,
             "drop_fraction": round(
                 (drop - last_drop) / max(fed_delta, 1), 4),
