@@ -42,8 +42,11 @@ Mismatches are CLASSIFIED (soak of seeds 2000-2059, 10 diverging):
   Reported as a mismatch line but counted separately.
 """
 
+import json
 import os
+import subprocess
 import sys
+import time
 
 # Force CPU the way tests/conftest.py does: the container presets
 # JAX_PLATFORMS=axon via sitecustomize (which already imported jax), so the
@@ -208,11 +211,49 @@ def _verify_f64(seed: int) -> bool:
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "1", str(seed),
-             "--f64"] + mode_flag,
+             "--f64", "--no-artifact"] + mode_flag,
             capture_output=True, text=True, timeout=1800)
     except Exception:
         return False
     return "MISMATCH" not in r.stdout
+
+
+def merge_batch(data: dict, batch: dict) -> dict:
+    """Pure: append one soak batch to the cumulative SOAK.json payload and
+    recompute the totals block.  Separated from IO for unit testing
+    (tests/test_soak_artifact.py).  Totals sum across batches — the same
+    seed re-run in a later batch counts again (each batch stands on its
+    own git rev); ``unexplained`` is the cross-batch sum of class
+    ``real``, the only class that fails a soak."""
+    data = dict(data or {})
+    batches = list(data.get("batches", [])) + [batch]
+    per_class = {}
+    for b in batches:
+        for k, v in b.get("counts", {}).items():
+            per_class[k] = per_class.get(k, 0) + v
+    data["batches"] = batches
+    data["totals"] = {
+        "seeds_run": sum(b["n"] for b in batches),
+        "diverging_by_class": per_class,
+        "unexplained": per_class.get("real", 0),
+    }
+    return data
+
+
+def persist_batch(batch: dict, path: str) -> dict:
+    """Append ``batch`` to the cumulative machine-readable soak artifact
+    (SOAK.json at the repo root) — the committed, re-checkable form of
+    the README's seed-count claims."""
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        data = {}
+    data = merge_batch(data, batch)
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+        f.write("\n")
+    return data
 
 
 def main():
@@ -221,25 +262,52 @@ def main():
     s0 = int(args[1]) if len(args) > 1 else 1000
     verify = not F64 and "--no-verify" not in sys.argv
     counts = {}
+    diverging = []
+    t0 = time.time()
     for seed in range(s0, s0 + n):
         try:
             errs, klass = run_pair(seed)
         except Exception as e:  # a crash on either backend is also a finding
             errs, klass = [f"EXCEPTION {type(e).__name__}: {e}"], "real"
         if errs:
+            f64_ok = None
             if klass == "f32-gate-boundary?" and verify:
                 # self-verifying: boundary suspects are re-run under f64;
                 # a seed that STILL mismatches is a real divergence and
                 # fails the soak
-                klass = ("f32-gate-boundary" if _verify_f64(seed)
-                         else "real")
+                f64_ok = _verify_f64(seed)
+                klass = "f32-gate-boundary" if f64_ok else "real"
             counts[klass] = counts.get(klass, 0) + 1
+            diverging.append({"seed": seed, "class": klass,
+                              "f64_matches_oracle": f64_ok,
+                              "errors": errs})
             print(f"SEED {seed} MISMATCH [{klass}]: " + "; ".join(errs),
                   flush=True)
         else:
             print(f"seed {seed} ok", flush=True)
     print(f"done: {sum(counts.values())}/{n} diverging seeds by class: "
           f"{counts or '{}'}", flush=True)
+    if "--no-artifact" not in sys.argv:
+        try:
+            rev = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))).stdout.strip()
+        except OSError:
+            rev = ""
+        batch = {
+            "rev": rev,
+            "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "mode": MODE, "f64": F64,
+            "seed_start": s0, "n": n,
+            "duration_s": round(time.time() - t0, 1),
+            "counts": counts, "diverging": diverging,
+        }
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SOAK.json")
+        data = persist_batch(batch, path)
+        print(f"SOAK.json: {data['totals']}", flush=True)
     # only unexplained ("real") divergences fail the soak; the two known
     # classes are characterized in the module docstring
     return 1 if counts.get("real") else 0
