@@ -30,12 +30,17 @@ frame streams — the synthetic-fixture source for the tests.
 
 from __future__ import annotations
 
+import logging
+import os
 import struct
+import zlib
 from typing import Dict, Iterable, Iterator, List, Optional, Tuple
 
 import numpy as np
 
 from . import rosbag
+
+logger = logging.getLogger("pcs_tpu.mcap")
 
 MAGIC = b"\x89MCAP0\r\n"
 
@@ -69,25 +74,40 @@ def _decompress(blob: bytes, compression: str, size: int) -> bytes:
         except ImportError as e:      # pragma: no cover - env-dependent
             raise IOError("mcap: zstd chunk but the zstandard module is "
                           "unavailable") from e
-        return zstandard.ZstdDecompressor().decompress(blob, max_output_size=size)
+        try:
+            return zstandard.ZstdDecompressor().decompress(
+                blob, max_output_size=size)
+        except Exception as e:        # ZstdError — corrupt payload
+            raise IOError(f"mcap: corrupt zstd chunk ({e})") from e
     if compression == "lz4":
         try:
             import lz4.frame          # optional; not in this image
         except ImportError as e:
             raise IOError("mcap: lz4 chunk but the lz4 module is "
                           "unavailable") from e
-        return lz4.frame.decompress(blob)
+        try:
+            return lz4.frame.decompress(blob)
+        except Exception as e:
+            raise IOError(f"mcap: corrupt lz4 chunk ({e})") from e
     raise IOError(f"mcap: unknown chunk compression {compression!r}")
 
 
 def _records_in(blob: bytes) -> Iterator[Tuple[int, bytes]]:
+    """Records nested in a chunk blob.  The blob length is exact (carried
+    by the chunk record), so an overrun is corruption -> IOError."""
     off, n = 0, len(blob)
     while off + 9 <= n:
         op = blob[off]
         (clen,) = struct.unpack_from("<Q", blob, off + 1)
         off += 9
+        if off + clen > n:
+            raise IOError("mcap: corrupt chunk (nested record overruns "
+                          "the chunk blob)")
         yield op, blob[off:off + clen]
         off += clen
+    if off != n:
+        raise IOError("mcap: corrupt chunk (trailing bytes after the last "
+                      "nested record)")
 
 
 def check_cdr(topic: str, encoding: str) -> None:
@@ -110,26 +130,40 @@ def read_messages(path: str, topics: Optional[Iterable[str]] = None,
     raw_payload, message_encoding) in file order.  Indexes and the
     summary section are skipped; schemas/channels register as encountered
     (inside or outside chunks, as the spec allows).  Callers must
-    check_cdr() before CDR-decoding a payload."""
+    check_cdr() before CDR-decoding a payload.
+
+    Failure envelope (tests/test_bag_corruption.py): a file that ENDS
+    mid-record (a recorder died mid-flight; rosbag2 also leaves no footer
+    then) stops cleanly at the last complete record with a warning;
+    structural corruption (a record too short for its own fixed fields, a
+    nested record overrunning its chunk, an undecompressable chunk) raises
+    a contextual IOError — never a bare struct.error/KeyError."""
     want = set(topics) if topics is not None else None
     schemas: Dict[int, str] = {}
     # channel id -> (topic, schema name, message_encoding)
     channels: Dict[int, Tuple[str, str, str]] = {}
 
     def handle(op: int, content: bytes):
-        if op == _OP_SCHEMA:
-            (sid,) = struct.unpack_from("<H", content, 0)
-            name, _ = _read_str(content, 2)
-            schemas[sid] = name
-            return None
-        if op == _OP_CHANNEL:
-            sid_ch, sid_schema = struct.unpack_from("<HH", content, 0)
-            topic, off = _read_str(content, 4)
-            encoding, _ = _read_str(content, off)
-            channels[sid_ch] = (topic, schemas.get(sid_schema, ""), encoding)
-            return None
+        try:
+            if op == _OP_SCHEMA:
+                (sid,) = struct.unpack_from("<H", content, 0)
+                name, _ = _read_str(content, 2)
+                schemas[sid] = name
+                return None
+            if op == _OP_CHANNEL:
+                sid_ch, sid_schema = struct.unpack_from("<HH", content, 0)
+                topic, off = _read_str(content, 4)
+                encoding, _ = _read_str(content, off)
+                channels[sid_ch] = (topic, schemas.get(sid_schema, ""),
+                                    encoding)
+                return None
+            if op == _OP_MESSAGE:
+                (ch, _seq, log_t, _pub_t) = struct.unpack_from(
+                    "<HIQQ", content, 0)
+        except struct.error as e:
+            raise IOError(f"mcap: corrupt record (opcode 0x{op:02x} too "
+                          f"short for its fixed fields: {e})") from e
         if op == _OP_MESSAGE:
-            (ch, _seq, log_t, _pub_t) = struct.unpack_from("<HIQQ", content, 0)
             if ch not in channels:
                 raise IOError(f"mcap: message for unknown channel {ch}")
             topic, schema, encoding = channels[ch]
@@ -143,18 +177,48 @@ def read_messages(path: str, topics: Optional[Iterable[str]] = None,
         while True:
             head = f.read(9)
             if len(head) < 9:
+                if head:
+                    logger.warning(
+                        "%s: file ends mid-record header — truncated "
+                        "recording; stopping at the last complete record",
+                        os.path.basename(path))
                 return
             op = head[0]
             (clen,) = struct.unpack("<Q", head[1:9])
             content = f.read(clen)
+            if len(content) < clen:
+                logger.warning(
+                    "%s: file ends mid-record (opcode 0x%02x, %d of %d "
+                    "bytes) — truncated recording; stopping at the last "
+                    "complete record",
+                    os.path.basename(path), op, len(content), clen)
+                return
             if op == _OP_CHUNK:
                 # u64 start, u64 end, u64 uncompressed_size, u32 crc,
                 # string compression, u64 records_len, records
-                (_s, _e, usize, _crc) = struct.unpack_from("<QQQI", content, 0)
-                comp, off = _read_str(content, 28)
-                (rlen,) = struct.unpack_from("<Q", content, off)
+                try:
+                    (_s, _e, usize, _crc) = struct.unpack_from(
+                        "<QQQI", content, 0)
+                    comp, off = _read_str(content, 28)
+                    (rlen,) = struct.unpack_from("<Q", content, off)
+                except struct.error as e:
+                    raise IOError(f"mcap: corrupt chunk record header "
+                                  f"({e})") from e
+                if off + 8 + rlen > len(content):
+                    raise IOError("mcap: corrupt chunk (records_len "
+                                  "overruns the chunk record)")
                 blob = _decompress(content[off + 8:off + 8 + rlen], comp,
                                    usize)
+                # the chunk record carries its own integrity signals:
+                # uncompressed_size always, uncompressed_crc when nonzero
+                # — a flipped byte that still "decompresses" is caught here
+                if comp and len(blob) != usize:
+                    raise IOError(
+                        f"mcap: corrupt chunk (decompressed to {len(blob)} "
+                        f"bytes, header says {usize})")
+                if _crc and zlib.crc32(blob) != _crc:
+                    raise IOError("mcap: corrupt chunk (uncompressed CRC "
+                                  "mismatch)")
                 for sub_op, sub in _records_in(blob):
                     out = handle(sub_op, sub)
                     if out is not None:
@@ -281,14 +345,20 @@ def read_bag_mcap(path: str, cloud_topic: Optional[str] = None,
     clouds: Dict[str, List[Tuple[float, np.ndarray]]] = {}
     poses: Dict[str, List[Tuple[float, np.ndarray, np.ndarray]]] = {}
     for topic, schema, log_t, raw, encoding in read_messages(path):
-        if schema in CLOUD_TYPES and cloud_topic in (None, topic):
-            check_cdr(topic, encoding)
-            stamp, pts = parse_pointcloud2_cdr(raw)
-            clouds.setdefault(topic, []).append((stamp or log_t, pts))
-        elif schema in POSE_TYPES and pose_topic in (None, topic):
-            check_cdr(topic, encoding)
-            stamp, pos, quat = parse_pose_cdr(raw, schema)
-            poses.setdefault(topic, []).append((stamp or log_t, pos, quat))
+        try:
+            if schema in CLOUD_TYPES and cloud_topic in (None, topic):
+                check_cdr(topic, encoding)
+                stamp, pts = parse_pointcloud2_cdr(raw)
+                clouds.setdefault(topic, []).append((stamp or log_t, pts))
+            elif schema in POSE_TYPES and pose_topic in (None, topic):
+                check_cdr(topic, encoding)
+                stamp, pos, quat = parse_pose_cdr(raw, schema)
+                poses.setdefault(topic, []).append((stamp or log_t,
+                                                    pos, quat))
+        except (struct.error, ValueError, IndexError) as e:
+            # framing intact, payload not a decodable CDR message
+            raise IOError(f"{os.path.basename(path)}: undecodable {schema} "
+                          f"on {topic!r} at t={log_t:.3f}: {e}") from e
     return (rosbag.require_single_topic(clouds, "PointCloud2", path,
                                         "cloud_topic= (--cloud-topic)",
                                         requested=cloud_topic),

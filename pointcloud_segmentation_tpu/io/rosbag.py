@@ -62,6 +62,13 @@ POSE_TYPES = ("geometry_msgs/PoseStamped", "nav_msgs/Odometry")
 
 # --------------------------------------------------------------- low level
 
+class TruncatedBag(Exception):
+    """The file ends in the middle of a record — the tail a recorder that
+    died mid-flight leaves behind.  Internal: readers catch it, warn, and
+    stop cleanly at the last complete record (never surfaced to callers,
+    unlike corruption, which raises IOError)."""
+
+
 def _parse_fields(header: bytes) -> Dict[str, bytes]:
     fields: Dict[str, bytes] = {}
     off = 0
@@ -69,44 +76,80 @@ def _parse_fields(header: bytes) -> Dict[str, bytes]:
     while off + 4 <= n:
         (flen,) = struct.unpack_from("<I", header, off)
         off += 4
+        if off + flen > n:
+            raise IOError("rosbag: corrupt record header (field overruns "
+                          "the header block)")
         fld = header[off:off + flen]
         off += flen
         eq = fld.find(b"=")
         if eq < 0:
             raise IOError("rosbag: malformed header field (no '=')")
-        fields[fld[:eq].decode("ascii")] = fld[eq + 1:]
+        fields[fld[:eq].decode("ascii", "replace")] = fld[eq + 1:]
     return fields
 
 
+def _op(fields: Dict[str, bytes]) -> int:
+    v = fields.get("op")
+    if not v:
+        raise IOError("rosbag: record missing the 'op' header field "
+                      "(corrupt bag?)")
+    return v[0]
+
+
+def _read_exact(f, n: int, what: str) -> bytes:
+    b = f.read(n)
+    if len(b) < n:
+        raise TruncatedBag(what)
+    return b
+
+
 def _read_record(f) -> Optional[Tuple[Dict[str, bytes], bytes]]:
+    """One top-level record; None at a clean EOF (record boundary),
+    TruncatedBag if the file ends mid-record."""
     head = f.read(4)
-    if len(head) < 4:
+    if not head:
         return None
+    if len(head) < 4:
+        raise TruncatedBag("record header length")
     (hlen,) = struct.unpack("<I", head)
-    fields = _parse_fields(f.read(hlen))
-    (dlen,) = struct.unpack("<I", f.read(4))
-    return fields, f.read(dlen)
+    fields = _parse_fields(_read_exact(f, hlen, "record header"))
+    (dlen,) = struct.unpack("<I", _read_exact(f, 4, "record data length"))
+    return fields, _read_exact(f, dlen, "record data")
 
 
 def _records_in(blob: bytes) -> Iterator[Tuple[Dict[str, bytes], bytes]]:
-    """Records nested inside an (uncompressed) chunk blob."""
+    """Records nested inside an (uncompressed) chunk blob.  The blob's
+    length is exact (the chunk record carried it), so a nested record
+    overrunning it is CORRUPTION, not truncation -> IOError."""
     off, n = 0, len(blob)
     while off + 4 <= n:
         (hlen,) = struct.unpack_from("<I", blob, off)
         off += 4
+        if off + hlen + 4 > n:
+            raise IOError("rosbag: corrupt chunk (nested record header "
+                          "overruns the chunk blob)")
         fields = _parse_fields(blob[off:off + hlen])
         off += hlen
         (dlen,) = struct.unpack_from("<I", blob, off)
         off += 4
+        if off + dlen > n:
+            raise IOError("rosbag: corrupt chunk (nested record data "
+                          "overruns the chunk blob)")
         yield fields, blob[off:off + dlen]
         off += dlen
+    if off != n:
+        raise IOError("rosbag: corrupt chunk (trailing bytes after the "
+                      "last nested record)")
 
 
 def _decompress(data: bytes, compression: bytes, size: int) -> bytes:
     if compression in (b"none", b""):
         return data
     if compression == b"bz2":
-        return bz2.decompress(data)
+        try:
+            return bz2.decompress(data)
+        except (OSError, ValueError, EOFError) as e:
+            raise IOError(f"rosbag: corrupt bz2 chunk ({e})") from e
     if compression == b"lz4":
         try:
             import lz4.frame  # optional; not in this image
@@ -119,11 +162,19 @@ def _decompress(data: bytes, compression: bytes, size: int) -> bytes:
 
 
 def _u32(fields: Dict[str, bytes], name: str) -> int:
-    return struct.unpack("<I", fields[name])[0]
+    try:
+        return struct.unpack("<I", fields[name])[0]
+    except (KeyError, struct.error) as e:
+        raise IOError(f"rosbag: record missing/malformed u32 header "
+                      f"field {name!r} (corrupt bag?)") from e
 
 
 def _time(fields: Dict[str, bytes], name: str) -> float:
-    secs, nsecs = struct.unpack("<II", fields[name])
+    try:
+        secs, nsecs = struct.unpack("<II", fields[name])
+    except (KeyError, struct.error) as e:
+        raise IOError(f"rosbag: record missing/malformed time header "
+                      f"field {name!r} (corrupt bag?)") from e
     return secs + nsecs * 1e-9
 
 
@@ -133,12 +184,19 @@ def read_messages(path: str, topics: Optional[Iterable[str]] = None,
     raw_serialized_message) in file order.  ``topics`` filters by topic
     name; None yields everything.  Index records are skipped, so bags with
     index_pos=0 ("needs reindex", e.g. an interrupted recording) read fine.
+
+    Failure envelope (tests/test_bag_corruption.py): a file that ENDS
+    mid-record — the tail a recorder dying mid-flight leaves — stops
+    cleanly at the last complete record with a warning; structural
+    corruption (malformed header fields, a nested record overrunning its
+    chunk, an undecompressable bz2 chunk) raises a contextual IOError —
+    never a bare struct.error/KeyError.
     """
     want = set(topics) if topics is not None else None
     conns: Dict[int, Tuple[str, str]] = {}
 
     def handle(fields, data):
-        op = fields["op"][0]
+        op = _op(fields)
         if op == _OP_CONNECTION:
             conn = _u32(fields, "conn")
             meta = _parse_fields(data)
@@ -160,11 +218,18 @@ def read_messages(path: str, topics: Optional[Iterable[str]] = None,
             raise IOError(f"{path}: not a ROS1 v2.0 bag "
                           f"(v1.2 and ROS2/mcap are not supported)")
         while True:
-            rec = _read_record(f)
+            try:
+                rec = _read_record(f)
+            except TruncatedBag as e:
+                logger.warning(
+                    "%s: file ends mid-record (%s) — truncated recording; "
+                    "stopping at the last complete record",
+                    os.path.basename(path), e)
+                return
             if rec is None:
                 return
             fields, data = rec
-            op = fields["op"][0]
+            op = _op(fields)
             if op == _OP_CHUNK:
                 blob = _decompress(data, fields.get("compression", b"none"),
                                    _u32(fields, "size"))
@@ -359,12 +424,19 @@ def read_bag(path: str, cloud_topic: Optional[str] = None,
     clouds: Dict[str, List[Tuple[float, np.ndarray]]] = {}
     poses: Dict[str, List[Tuple[float, np.ndarray, np.ndarray]]] = {}
     for topic, mtype, rec_t, raw in read_messages(path):
-        if mtype == CLOUD_TYPE and cloud_topic in (None, topic):
-            stamp, pts = parse_pointcloud2(raw)
-            clouds.setdefault(topic, []).append((stamp or rec_t, pts))
-        elif mtype in POSE_TYPES and pose_topic in (None, topic):
-            stamp, pos, quat = parse_pose(raw, mtype)
-            poses.setdefault(topic, []).append((stamp or rec_t, pos, quat))
+        try:
+            if mtype == CLOUD_TYPE and cloud_topic in (None, topic):
+                stamp, pts = parse_pointcloud2(raw)
+                clouds.setdefault(topic, []).append((stamp or rec_t, pts))
+            elif mtype in POSE_TYPES and pose_topic in (None, topic):
+                stamp, pos, quat = parse_pose(raw, mtype)
+                poses.setdefault(topic, []).append((stamp or rec_t,
+                                                    pos, quat))
+        except (struct.error, ValueError, IndexError) as e:
+            # the record framing was intact but the payload is not a
+            # decodable message — corruption, reported with context
+            raise IOError(f"{os.path.basename(path)}: undecodable {mtype} "
+                          f"on {topic!r} at t={rec_t:.3f}: {e}") from e
     return (require_single_topic(clouds, "PointCloud2", path,
                                  "cloud_topic= (--cloud-topic)",
                                  requested=cloud_topic),
