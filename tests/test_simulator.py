@@ -140,3 +140,30 @@ def test_load_waypoints_csv_rejects_headerless(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="header"):
         load_waypoints_csv(str(p))
+
+
+def test_shipped_reference_trajectories_load():
+    """configs/wp_tower.csv and configs/wp_mockup.csv are the reference's
+    REAL flight plans carried verbatim
+    (/root/reference/config_auto_pilot/wp_tower.csv, wp_mockup.csv —
+    byte-identical); they load through load_waypoints_csv (blank lines
+    skipped: the tower file has 49 waypoints across its 53 data lines)
+    and feed trajectory_poses.  The tower BENCH keeps the code-side
+    spiral (scene.spiral_waypoints): the stand-in tower scene's geometry
+    differs from the reference's missing STL, so the verbatim flight
+    plan would orbit empty space there."""
+    import os
+
+    from pointcloud_segmentation_tpu.io.scene import (load_waypoints_csv,
+                                                      trajectory_poses)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tower = load_waypoints_csv(os.path.join(root, "configs", "wp_tower.csv"))
+    mockup = load_waypoints_csv(os.path.join(root, "configs",
+                                             "wp_mockup.csv"))
+    assert len(tower) == 49 and len(mockup) == 16
+    assert all(len(w) == 5 for w in tower + mockup)
+    assert tower[0] == (0.5, 2.5, 0.1, -1.57, 5.0)
+    assert mockup[-1] == (1.5, 1.0, 0.3, 3.14, 15.0)
+    poses = trajectory_poses(mockup, hz=1.0, velocity=0.5)
+    assert len(poses) > 50           # a real multi-minute scan pattern
