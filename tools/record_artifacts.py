@@ -43,10 +43,15 @@ def log(msg):
 
 
 def probe_ms():
-    """One chip-weather probe; returns device ms/frame (or None)."""
+    """One chip-weather probe; returns device ms/frame (or None).  A None
+    probe logs the subprocess's tail so an unattended run's dead-probe
+    window is diagnosable after the fact."""
     p = subprocess.run([sys.executable, "tools/chip_weather.py"],
                        cwd=REPO, capture_output=True, text=True)
     m = re.search(r"device_ms_per_frame=([0-9.]+)", p.stdout + p.stderr)
+    if m is None:
+        tail = ((p.stdout or "") + (p.stderr or "")).strip()[-300:]
+        log(f"probe produced no number (rc={p.returncode}); tail: {tail!r}")
     return float(m.group(1)) if m else None
 
 
