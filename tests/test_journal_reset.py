@@ -188,8 +188,10 @@ def test_streaming_cadence_reset(frames, monkeypatch):
         while (eng.frames_processed + eng.frames_skipped_no_pose
                + eng.frames_failed) < target and time.time() < deadline:
             time.sleep(0.002)
-    # let the worker cross the final cadence in an idle window
-    deadline = time.time() + 10
+    # let the worker cross the final cadence in an idle window (generous
+    # deadline: under an oversubscribed CI host the idle-gated flusher can
+    # take tens of seconds to drain — measured as a load-flake at 10 s)
+    deadline = time.time() + 60
     while eng.journal_resets < 2 and time.time() < deadline:
         time.sleep(0.01)
     eng.stop()

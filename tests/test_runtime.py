@@ -811,7 +811,15 @@ def test_engine_restart_rss_bounded(replay_frames):
     n = 8
     for _ in range(n):
         session()
-        samples.append(rss_mb())
+        # a single point sample can land while the ~85 MB XLA scratch is
+        # live; take the min of a few spaced samples per session so the
+        # window-minima comparison is load-robust (measured flake when the
+        # suite ran alongside two soak processes)
+        per = []
+        for _ in range(3):
+            per.append(rss_mb())
+            time.sleep(0.05)
+        samples.append(min(per))
     growth = min(samples[-3:]) - min(samples[:3])
     assert growth < 3.0 * n, (
         f"streaming restarts leak {growth / n:.1f} MB/session "
