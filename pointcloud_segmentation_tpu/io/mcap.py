@@ -171,27 +171,43 @@ def read_messages(path: str, topics: Optional[Iterable[str]] = None,
                 return topic, schema, log_t * 1e-9, content[22:], encoding
         return None
 
+    size = os.path.getsize(path)
     with open(path, "rb") as f:
         if f.read(len(MAGIC)) != MAGIC:
             raise IOError(f"{path}: not an MCAP file")
+        # a spec-complete MCAP file ends with the magic again; remember
+        # whether THIS file does, so an EOF-mid-record can be classified:
+        # torn tail (no trailing magic — the recorder died) vs a corrupt
+        # length field in a file that provably ran to completion
+        if size >= 2 * len(MAGIC):
+            f.seek(size - len(MAGIC))
+            file_was_closed = f.read(len(MAGIC)) == MAGIC
+        else:
+            file_was_closed = False
+        f.seek(len(MAGIC))
+
+        def short_read(what):
+            if file_was_closed:
+                raise IOError(
+                    f"{os.path.basename(path)}: {what}, but the file ends "
+                    f"with the MCAP magic (a closed recording) — corrupt "
+                    f"record length, not merely truncated")
+            logger.warning(
+                "%s: %s — truncated recording; stopping at the last "
+                "complete record", os.path.basename(path), what)
+
         while True:
             head = f.read(9)
             if len(head) < 9:
                 if head:
-                    logger.warning(
-                        "%s: file ends mid-record header — truncated "
-                        "recording; stopping at the last complete record",
-                        os.path.basename(path))
+                    short_read("file ends mid-record header")
                 return
             op = head[0]
             (clen,) = struct.unpack("<Q", head[1:9])
             content = f.read(clen)
             if len(content) < clen:
-                logger.warning(
-                    "%s: file ends mid-record (opcode 0x%02x, %d of %d "
-                    "bytes) — truncated recording; stopping at the last "
-                    "complete record",
-                    os.path.basename(path), op, len(content), clen)
+                short_read(f"file ends mid-record (opcode 0x{op:02x}, "
+                           f"{len(content)} of {clen} bytes)")
                 return
             if op == _OP_CHUNK:
                 # u64 start, u64 end, u64 uncompressed_size, u32 crc,

@@ -157,7 +157,10 @@ def _decompress(data: bytes, compression: bytes, size: int) -> bytes:
             raise IOError("rosbag: lz4-compressed chunk but the lz4 module "
                           "is unavailable; re-record with --bz2 or none") \
                 from e
-        return lz4.frame.decompress(data)
+        try:
+            return lz4.frame.decompress(data)
+        except Exception as e:
+            raise IOError(f"rosbag: corrupt lz4 chunk ({e})") from e
     raise IOError(f"rosbag: unknown chunk compression {compression!r}")
 
 
@@ -200,9 +203,12 @@ def read_messages(path: str, topics: Optional[Iterable[str]] = None,
         if op == _OP_CONNECTION:
             conn = _u32(fields, "conn")
             meta = _parse_fields(data)
+            # "replace", not strict: a flipped byte in a topic/type string
+            # must not escape as a bare UnicodeDecodeError (the envelope
+            # the corruption tests pin)
             conns[conn] = (meta.get("topic", fields.get("topic", b"")
-                                    ).decode("utf-8"),
-                           meta.get("type", b"").decode("utf-8"))
+                                    ).decode("utf-8", "replace"),
+                           meta.get("type", b"").decode("utf-8", "replace"))
             return None
         if op == _OP_MSG_DATA:
             conn = _u32(fields, "conn")
@@ -213,6 +219,7 @@ def read_messages(path: str, topics: Optional[Iterable[str]] = None,
                 return topic, mtype, _time(fields, "time"), data
         return None
 
+    closed_index_pos = 0    # nonzero once the bag header says "closed"
     with open(path, "rb") as f:
         if f.read(len(_MAGIC)) != _MAGIC:
             raise IOError(f"{path}: not a ROS1 v2.0 bag "
@@ -221,6 +228,18 @@ def read_messages(path: str, topics: Optional[Iterable[str]] = None,
             try:
                 rec = _read_record(f)
             except TruncatedBag as e:
+                if closed_index_pos:
+                    # the bag header records a nonzero index_pos, so the
+                    # recorder CLOSED this bag — the file provably did not
+                    # end here.  A mid-file EOF is then a corrupt length
+                    # field (or a storage-level cut of a finished file),
+                    # not a torn tail: silently dropping the remainder
+                    # would be the silently-sparse-map outcome.
+                    raise IOError(
+                        f"{os.path.basename(path)}: file ends mid-record "
+                        f"({e}) but the bag header records index_pos="
+                        f"{closed_index_pos} (a closed recording) — "
+                        f"corrupt, not merely truncated") from None
                 logger.warning(
                     "%s: file ends mid-record (%s) — truncated recording; "
                     "stopping at the last complete record",
@@ -230,6 +249,12 @@ def read_messages(path: str, topics: Optional[Iterable[str]] = None,
                 return
             fields, data = rec
             op = _op(fields)
+            if op == _OP_BAG_HEADER and "index_pos" in fields:
+                try:
+                    (closed_index_pos,) = struct.unpack(
+                        "<Q", fields["index_pos"])
+                except struct.error:
+                    closed_index_pos = 0
             if op == _OP_CHUNK:
                 blob = _decompress(data, fields.get("compression", b"none"),
                                    _u32(fields, "size"))

@@ -40,6 +40,16 @@ def _truncate(src: bytes, path, n: int) -> str:
     return str(path)
 
 
+def _unclose_bag(src: bytes) -> bytes:
+    """Zero the bag header's index_pos — the on-disk form a recorder that
+    DIED mid-flight leaves (rosbag writes index_pos=0 until close).  The
+    torn-tail warn+stop contract applies to this form; a CLOSED bag
+    (nonzero index_pos) that ends mid-record is corruption instead."""
+    i = src.index(b"index_pos=")
+    j = i + len(b"index_pos=")
+    return src[:j] + b"\x00" * 8 + src[j + 8:]
+
+
 def _tiny_clouds_poses(n=3):
     """Small fixed-size messages so the byte-exact truncation sweeps stay
     fast (the simulator's 4096-point clouds make a ~100 KB bag; these make
@@ -59,7 +69,7 @@ def test_bag_truncation_sweep_never_raises_bare_errors(tmp_path):
     corruption."""
     full = str(tmp_path / "full.bag")
     rosbag.write_bag(full, *_tiny_clouds_poses())
-    src = open(full, "rb").read()
+    src = _unclose_bag(open(full, "rb").read())
     t = tmp_path / "cut.bag"
     for n in range(len(rosbag._MAGIC), len(src)):
         clouds, poses = rosbag.read_bag(_truncate(src, t, n))
@@ -70,7 +80,7 @@ def test_bag_truncated_mid_record_warns_and_stops(tmp_path, caplog):
     frames = _sim_frames(2)
     full = str(tmp_path / "full.bag")
     rosbag.frames_to_bag(full, frames)
-    src = open(full, "rb").read()
+    src = _unclose_bag(open(full, "rb").read())
     # cut into the middle of the chunk record (mid-payload): magic is
     # 13 bytes, the padded bag-header record is exactly 4096, so the chunk
     # starts at 4109 — stop halfway through it
@@ -88,12 +98,25 @@ def test_bag_truncated_after_chunk_keeps_messages(tmp_path, caplog):
     frames = _sim_frames(2)
     full = str(tmp_path / "full.bag")
     rosbag.frames_to_bag(full, frames)
-    src = open(full, "rb").read()
+    src = _unclose_bag(open(full, "rb").read())
     with caplog.at_level(logging.WARNING, logger="pcs_tpu.rosbag"):
         clouds, poses = rosbag.read_bag(
             _truncate(src, tmp_path / "cut.bag", len(src) - 10))
     assert len(clouds) == 2 and len(poses) == 2
     assert any("truncated recording" in r.message for r in caplog.records)
+
+
+def test_bag_closed_recording_cut_midfile_is_ioerror(tmp_path):
+    """A bag whose header records a nonzero index_pos was CLOSED by its
+    recorder — an EOF mid-record there is a corrupt length field (or a
+    storage-level cut), and silently dropping the remainder would build a
+    silently sparse map.  Contextual IOError instead."""
+    full = str(tmp_path / "full.bag")
+    rosbag.write_bag(full, *_tiny_clouds_poses())
+    src = open(full, "rb").read()
+    cut = 4109 + (len(src) - 4109) // 2     # mid-chunk, header intact
+    with pytest.raises(IOError, match="corrupt, not merely truncated"):
+        rosbag.read_bag(_truncate(src, tmp_path / "cut.bag", cut))
 
 
 def test_bag_bz2_chunk_flipped_byte_is_contextual_ioerror(tmp_path):
@@ -208,6 +231,29 @@ def test_mcap_truncated_mid_message_warns_and_stops(tmp_path, caplog):
     assert any("truncated recording" in r.message for r in caplog.records)
 
 
+def test_mcap_closed_file_bad_length_is_ioerror(tmp_path):
+    """An MCAP file that still ENDS with the magic was closed by its
+    recorder; an EOF-mid-record inside it means a corrupt record length,
+    not a torn tail -> contextual IOError, no silent message loss."""
+    full = str(tmp_path / "full.mcap")
+    mcap.write_mcap(full, *_tiny_clouds_poses())
+    src = bytearray(open(full, "rb").read())
+    # inflate the first message record's u64 content_len
+    off = len(mcap.MAGIC)
+    while off + 9 <= len(src):
+        op = src[off]
+        (clen,) = struct.unpack_from("<Q", src, off + 1)
+        if op == mcap._OP_MESSAGE:
+            struct.pack_into("<Q", src, off + 1, 10 ** 9)
+            break
+        off += 9 + clen
+    path = str(tmp_path / "bad.mcap")
+    with open(path, "wb") as f:
+        f.write(src)
+    with pytest.raises(IOError, match="corrupt record length"):
+        list(mcap.read_messages(path))
+
+
 def test_mcap_corrupt_chunk_header_is_contextual_ioerror(tmp_path):
     path = str(tmp_path / "c.mcap")
     with open(path, "wb") as f:
@@ -317,7 +363,7 @@ def test_bag_to_frames_survives_truncated_tail(tmp_path):
     frames = _sim_frames(3)
     full = str(tmp_path / "full.bag")
     rosbag.frames_to_bag(full, frames)
-    src = open(full, "rb").read()
+    src = _unclose_bag(open(full, "rb").read())
     out = rosbag.bag_to_frames(
         _truncate(src, tmp_path / "cut.bag", len(src) - 10))
     assert len(out) == 3

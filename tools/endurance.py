@@ -46,6 +46,14 @@ import threading
 import time
 
 
+# The engine marks a flusher head read in flight longer than this as
+# WEDGED (relay park, host-side weather).  judge_windows excludes such
+# windows from the degradation tail, and tools/record_artifacts.py's
+# endurance acceptance gate counts them — ONE constant so the judge and
+# the gate can't silently diverge.
+WEDGE_READ_MS = 3000.0
+
+
 def rss_mb() -> float:
     with open("/proc/self/status") as f:
         for line in f:
@@ -93,7 +101,7 @@ def judge_windows(windows, cadence, rate, window_s=30.0):
     # window whose slowest flusher read crossed the engine's 3 s wedge
     # threshold is relay weather, not code decay
     unwedged = [c for c in full
-                if c.get("max_flush_read_ms", 0.0) <= 3000.0]
+                if c.get("max_flush_read_ms", 0.0) <= WEDGE_READ_MS]
     tail = sorted(c["processed_per_sec"] for c in unwedged[-5:])
     tail_median = tail[len(tail) // 2] if tail else 0.0
     degraded = (len(full) >= 6 and len(tail) >= 3

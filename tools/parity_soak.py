@@ -243,16 +243,28 @@ def merge_batch(data: dict, batch: dict) -> dict:
 def persist_batch(batch: dict, path: str) -> dict:
     """Append ``batch`` to the cumulative machine-readable soak artifact
     (SOAK.json at the repo root) — the committed, re-checkable form of
-    the README's seed-count claims."""
-    try:
-        with open(path) as f:
-            data = json.load(f)
-    except (OSError, ValueError):
-        data = {}
-    data = merge_batch(data, batch)
-    with open(path, "w") as f:
-        json.dump(data, f, indent=1)
-        f.write("\n")
+    the README's seed-count claims.
+
+    Concurrent-safe and crash-safe: batches in different modes are run as
+    separate processes (often in parallel), so the read-modify-write holds
+    an flock on ``<path>.lock`` (no lost batches) and the result lands via
+    write-to-temp + os.replace (a crash mid-dump can't leave a torn file
+    that a later run would silently treat as an empty history)."""
+    import fcntl
+
+    with open(path + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            data = {}
+        data = merge_batch(data, batch)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1)
+            f.write("\n")
+        os.replace(tmp, path)
     return data
 
 

@@ -21,8 +21,11 @@ next stage as a subprocess (plain python -> axon TPU; NEVER killed or
 timed out — a killed TPU process leaves a stale claim).  Bench results
 land in /tmp first and are copied into the repo only if the run's own
 node_loop device time confirms the window stayed quiet.  The endurance
-summary is accepted on exit 0 (its own verdict logic judges degradation
-and leaks).  Everything is logged to stdout; the caller commits.
+summary is accepted only on exit 0 (its own verdict logic judges
+degradation and leaks) AND a quiet-enough run: the accepted JSON carries
+a ``recorder_weather`` block (pre/post chip probes + wedge-window stats)
+and a wedge-dominated run (unwedged-window fraction < 0.6) is rejected.
+Everything is logged to stdout; the caller commits.
 """
 
 import json
@@ -34,6 +37,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))   # for `from endurance import ...`
 PROBE_PERIOD_S = 8 * 60
 MAX_ATTEMPTS = 8
 
@@ -126,10 +130,12 @@ def run_endurance(minutes, cadence, quiet_ms, pre_probe_ms, out_name):
                       "w") as f:
                 f.write(lines[-1] + "\n")
         return False
+    from endurance import WEDGE_READ_MS
+
     summary = json.loads(lines[-1])
     wins = summary.get("windows_detail", [])
     wedged = sum(1 for w in wins
-                 if w.get("max_flush_read_ms", 0.0) > 3000.0)
+                 if w.get("max_flush_read_ms", 0.0) > WEDGE_READ_MS)
     frac_ok = 1.0 - wedged / max(len(wins), 1)
     post_ms = probe_ms()
     summary["recorder_weather"] = {
