@@ -9,7 +9,16 @@ each result must be accepted only if the run itself stayed quiet (the
 bench rows self-report device time for exactly this purpose).
 
     python tools/record_artifacts.py [--bench] [--endurance] \
-        [--minutes 30] [--cadence N] [--quiet-ms 9.5]
+        [--minutes 30] [--cadence N] [--quiet-ms 9.5] [--force]
+
+``--force`` skips the quiet-window wait: one probe is taken for the
+``recorder_weather`` annotation and the stage runs immediately.  This is
+the storm-outlasts-the-round fallback — a committed endurance artifact
+that SAYS it was recorded on a ~27 ms stormy chip beats no artifact
+(chip storms have been observed to persist 3+ h, CLAUDE.md).  The bench
+stage's own quiet-acceptance gate still applies under --force, so a
+forced bench attempt on a stormy chip will record and reject; use
+--force for the endurance stage.
 
 ``--cadence`` defaults to the engine's own journal-reset default (4096 —
 the deployed configuration is what the artifact must evidence); pass a
@@ -177,6 +186,7 @@ def main():
         if "--quiet-ms" in args else 9.5
     out_name = args[args.index("--out") + 1] \
         if "--out" in args else "ENDURANCE_r05.json"
+    force = "--force" in args
 
     stages = ([("bench", lambda pre: run_bench(quiet_ms))]
               if do_bench else []) \
@@ -185,7 +195,12 @@ def main():
            if do_end else [])
     for name, fn in stages:
         for attempt in range(1, MAX_ATTEMPTS + 1):
-            pre_ms = wait_quiet(quiet_ms)
+            if force:
+                pre_ms = probe_ms()
+                log(f"{name}: --force — running now (probe {pre_ms} "
+                    f"ms/frame, quiet < {quiet_ms})")
+            else:
+                pre_ms = wait_quiet(quiet_ms)
             log(f"{name}: attempt {attempt}/{MAX_ATTEMPTS}")
             if fn(pre_ms):
                 break
