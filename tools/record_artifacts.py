@@ -110,6 +110,34 @@ def run_bench(quiet_ms):
     return True
 
 
+def judge_endurance(summary, pre_probe_ms, post_ms, quiet_ms,
+                    wedge_read_ms):
+    """Pure acceptance judgment for a finished endurance summary.
+
+    Annotates ``summary`` with the ``recorder_weather`` block (pre/post
+    chip probes + wedge-window stats derived from the run's own windows)
+    and returns ``(accept, summary)`` where ``accept`` is False iff the
+    run was wedge-dominated (unwedged-window fraction < 0.6).  Kept pure
+    (no IO, no probes) so the acceptance gate is unit-testable — the
+    same discipline as tools/endurance.py's ``judge_windows``.
+    """
+    wins = summary.get("windows_detail", [])
+    wedged = sum(1 for w in wins
+                 if w.get("max_flush_read_ms", 0.0) > wedge_read_ms)
+    frac_ok = 1.0 - wedged / max(len(wins), 1)
+    summary["recorder_weather"] = {
+        "pre_probe_device_ms": pre_probe_ms,
+        "post_probe_device_ms": post_ms,
+        "quiet_ms_threshold": quiet_ms,
+        "post_probe_quiet": bool(post_ms is not None
+                                 and post_ms < quiet_ms),
+        "windows": len(wins),
+        "wedge_windows": wedged,
+        "unwedged_window_fraction": round(frac_ok, 3),
+    }
+    return frac_ok >= 0.6, summary
+
+
 def run_endurance(minutes, cadence, quiet_ms, pre_probe_ms, out_name):
     """Production soak; accept on exit 0 AND a quiet-enough run.
 
@@ -142,28 +170,19 @@ def run_endurance(minutes, cadence, quiet_ms, pre_probe_ms, out_name):
     from endurance import WEDGE_READ_MS
 
     summary = json.loads(lines[-1])
-    wins = summary.get("windows_detail", [])
-    wedged = sum(1 for w in wins
-                 if w.get("max_flush_read_ms", 0.0) > WEDGE_READ_MS)
-    frac_ok = 1.0 - wedged / max(len(wins), 1)
     post_ms = probe_ms()
-    summary["recorder_weather"] = {
-        "pre_probe_device_ms": pre_probe_ms,
-        "post_probe_device_ms": post_ms,
-        "quiet_ms_threshold": quiet_ms,
-        "post_probe_quiet": bool(post_ms is not None
-                                 and post_ms < quiet_ms),
-        "windows": len(wins),
-        "wedge_windows": wedged,
-        "unwedged_window_fraction": round(frac_ok, 3),
-    }
-    if frac_ok < 0.6:
+    accept, summary = judge_endurance(summary, pre_probe_ms, post_ms,
+                                      quiet_ms, WEDGE_READ_MS)
+    if not accept:
+        rw = summary["recorder_weather"]
         log(f"endurance: run was wedge-dominated "
-            f"({wedged}/{len(wins)} windows parked >3 s) — rejecting")
+            f"({rw['wedge_windows']}/{rw['windows']} windows parked "
+            f">3 s) — rejecting")
         with open(f"/tmp/endurance_wedged_{int(time.time())}.json",
                   "w") as f:
             json.dump(summary, f)
         return False
+    frac_ok = summary["recorder_weather"]["unwedged_window_fraction"]
     with open(out, "w") as f:
         json.dump(summary, f)
         f.write("\n")
@@ -172,27 +191,49 @@ def run_endurance(minutes, cadence, quiet_ms, pre_probe_ms, out_name):
     return True
 
 
+def parse_args(args):
+    """Pure CLI parsing; returns an options dict (unit-tested).  Unknown
+    positional tokens are rejected so a typo'd flag can't silently start
+    a default full run (which immediately dials the TPU)."""
+    known = {"--bench", "--endurance", "--force"}
+    valued = {"--minutes", "--cadence", "--quiet-ms", "--out"}
+    i, extras = 0, []
+    while i < len(args):
+        if args[i] in valued:
+            i += 2
+            continue
+        if args[i] not in known:
+            extras.append(args[i])
+        i += 1
+    if extras:
+        raise SystemExit(f"record_artifacts: unknown argument(s) {extras}")
+    return {
+        "do_bench": "--bench" in args or not any(
+            a in args for a in ("--bench", "--endurance")),
+        "do_end": "--endurance" in args or not any(
+            a in args for a in ("--bench", "--endurance")),
+        "minutes": float(args[args.index("--minutes") + 1])
+        if "--minutes" in args else 30.0,
+        "cadence": int(args[args.index("--cadence") + 1])
+        if "--cadence" in args else None,
+        "quiet_ms": float(args[args.index("--quiet-ms") + 1])
+        if "--quiet-ms" in args else 9.5,
+        "out_name": args[args.index("--out") + 1]
+        if "--out" in args else "ENDURANCE_r05.json",
+        "force": "--force" in args,
+    }
+
+
 def main():
-    args = sys.argv[1:]
-    do_bench = "--bench" in args or not any(
-        a in args for a in ("--bench", "--endurance"))
-    do_end = "--endurance" in args or not any(
-        a in args for a in ("--bench", "--endurance"))
-    minutes = float(args[args.index("--minutes") + 1]) \
-        if "--minutes" in args else 30.0
-    cadence = int(args[args.index("--cadence") + 1]) \
-        if "--cadence" in args else None
-    quiet_ms = float(args[args.index("--quiet-ms") + 1]) \
-        if "--quiet-ms" in args else 9.5
-    out_name = args[args.index("--out") + 1] \
-        if "--out" in args else "ENDURANCE_r05.json"
-    force = "--force" in args
+    o = parse_args(sys.argv[1:])
+    minutes, cadence, quiet_ms = o["minutes"], o["cadence"], o["quiet_ms"]
+    out_name, force = o["out_name"], o["force"]
 
     stages = ([("bench", lambda pre: run_bench(quiet_ms))]
-              if do_bench else []) \
+              if o["do_bench"] else []) \
         + ([("endurance", lambda pre: run_endurance(
             minutes, cadence, quiet_ms, pre, out_name))]
-           if do_end else [])
+           if o["do_end"] else [])
     for name, fn in stages:
         for attempt in range(1, MAX_ATTEMPTS + 1):
             if force:
