@@ -131,3 +131,25 @@ class TestParseArgs:
             ra.parse_args(["--help"])
         with pytest.raises(SystemExit):
             ra.parse_args(["--benhc"])
+
+    def test_missing_value_refused(self):
+        # A valued flag with the value forgotten must exit with usage,
+        # not crash later with a bare IndexError.
+        with pytest.raises(SystemExit):
+            ra.parse_args(["--endurance", "--minutes"])
+
+    def test_flag_swallowed_as_value_refused(self):
+        # `--out --endurance` must NOT silently set out_name to the
+        # literal string "--endurance" and flip the stage selection —
+        # that misparse still dials the TPU and writes a repo file
+        # named like a flag.
+        with pytest.raises(SystemExit):
+            ra.parse_args(["--out", "--endurance"])
+        with pytest.raises(SystemExit):
+            ra.parse_args(["--minutes", "--force"])
+
+    def test_no_abbreviation(self):
+        # Prefix matching would let `--ben` quietly select the bench
+        # stage; strict mode refuses it.
+        with pytest.raises(SystemExit):
+            ra.parse_args(["--ben"])

@@ -83,12 +83,22 @@ def main():
         print(f"reps={reps:4d}: wall {best*1e3:8.1f} ms  "
               f"naive {best/reps*1e3:6.2f} ms/frame", flush=True)
 
-    (r1, t1), (r3, t3) = pts[0], pts[-1]
-    slope_ms = (t3 - t1) / (r3 - r1) * 1e3
-    intercept_ms = (t1 - slope_ms / 1e3 * r1) * 1e3
+    # Least-squares over ALL collected points (not just the endpoints):
+    # one parked relay read (10 s-17 min observed, CLAUDE.md) at a single
+    # reps level then shows up as a large fit residual instead of
+    # silently corrupting an endpoint-only slope.
+    reps_arr = np.array([r for r, _ in pts], dtype=np.float64)
+    wall_arr = np.array([t for _, t in pts], dtype=np.float64)
+    slope_s, intercept_s = np.polyfit(reps_arr, wall_arr, 1)
+    slope_ms, intercept_ms = slope_s * 1e3, intercept_s * 1e3
+    resid_ms = np.abs(wall_arr - (slope_s * reps_arr + intercept_s)) * 1e3
     print(f"fit: device {slope_ms:.2f} ms/frame + fixed "
           f"{intercept_ms:.0f} ms/call overhead "
-          f"(floor median {np.median(floors)*1e3:.0f} ms)")
+          f"(floor median {np.median(floors)*1e3:.0f} ms, "
+          f"max residual {resid_ms.max():.0f} ms)")
+    if resid_ms.max() > 500:
+        print("WARNING: fit residual > 500 ms — one timing likely caught "
+              "a parked relay read; rerun before trusting the verdict")
     verdict = ("chip-storm" if slope_ms > 12 else
                "read-storm" if intercept_ms > 300 else "quiet")
     print(f"verdict={verdict} slope_ms={slope_ms:.2f} "

@@ -37,6 +37,7 @@ and a wedge-dominated run (unwedged-window fraction < 0.6) is rejected.
 Everything is logged to stdout; the caller commits.
 """
 
+import argparse
 import json
 import os
 import re
@@ -192,35 +193,36 @@ def run_endurance(minutes, cadence, quiet_ms, pre_probe_ms, out_name):
 
 
 def parse_args(args):
-    """Pure CLI parsing; returns an options dict (unit-tested).  Unknown
-    positional tokens are rejected so a typo'd flag can't silently start
-    a default full run (which immediately dials the TPU)."""
-    known = {"--bench", "--endurance", "--force"}
-    valued = {"--minutes", "--cadence", "--quiet-ms", "--out"}
-    i, extras = 0, []
-    while i < len(args):
-        if args[i] in valued:
-            i += 2
-            continue
-        if args[i] not in known:
-            extras.append(args[i])
-        i += 1
-    if extras:
-        raise SystemExit(f"record_artifacts: unknown argument(s) {extras}")
+    """Pure CLI parsing; returns an options dict (unit-tested).  Built on
+    argparse in strict mode (``allow_abbrev=False``): an unknown or
+    typo'd flag, a missing value, or a flag swallowed as another flag's
+    value all exit with usage instead of silently starting a default
+    full run (which immediately dials the TPU)."""
+    p = argparse.ArgumentParser(
+        prog="record_artifacts", allow_abbrev=False,
+        description="Quiet-window artifact recorder (see module docstring)")
+    p.add_argument("--bench", action="store_true",
+                   help="refresh bench_details.json (BENCH_CONFIG=all)")
+    p.add_argument("--endurance", action="store_true",
+                   help="run the endurance soak")
+    p.add_argument("--force", action="store_true",
+                   help="skip the quiet-window wait (storm fallback; "
+                        "meant for --endurance — the bench stage's own "
+                        "quiet gate still rejects stormy runs)")
+    p.add_argument("--minutes", type=float, default=30.0)
+    p.add_argument("--cadence", type=int, default=None)
+    p.add_argument("--quiet-ms", type=float, default=9.5, dest="quiet_ms")
+    p.add_argument("--out", default="ENDURANCE_r05.json", dest="out_name")
+    ns = p.parse_args(args)
+    both = not (ns.bench or ns.endurance)
     return {
-        "do_bench": "--bench" in args or not any(
-            a in args for a in ("--bench", "--endurance")),
-        "do_end": "--endurance" in args or not any(
-            a in args for a in ("--bench", "--endurance")),
-        "minutes": float(args[args.index("--minutes") + 1])
-        if "--minutes" in args else 30.0,
-        "cadence": int(args[args.index("--cadence") + 1])
-        if "--cadence" in args else None,
-        "quiet_ms": float(args[args.index("--quiet-ms") + 1])
-        if "--quiet-ms" in args else 9.5,
-        "out_name": args[args.index("--out") + 1]
-        if "--out" in args else "ENDURANCE_r05.json",
-        "force": "--force" in args,
+        "do_bench": ns.bench or both,
+        "do_end": ns.endurance or both,
+        "minutes": ns.minutes,
+        "cadence": ns.cadence,
+        "quiet_ms": ns.quiet_ms,
+        "out_name": ns.out_name,
+        "force": ns.force,
     }
 
 
@@ -234,21 +236,31 @@ def main():
         + ([("endurance", lambda pre: run_endurance(
             minutes, cadence, quiet_ms, pre, out_name))]
            if o["do_end"] else [])
+    # Under --force, retrying a rejected stage under the same storm cannot
+    # succeed for bench (its own quiet gate re-rejects), so cap attempts;
+    # and a given-up stage must not abort the ones after it — the
+    # endurance stage is the very artifact --force exists to salvage.
+    attempts_cap = 2 if force else MAX_ATTEMPTS
+    failed = []
     for name, fn in stages:
-        for attempt in range(1, MAX_ATTEMPTS + 1):
+        for attempt in range(1, attempts_cap + 1):
             if force:
                 pre_ms = probe_ms()
                 log(f"{name}: --force — running now (probe {pre_ms} "
                     f"ms/frame, quiet < {quiet_ms})")
             else:
                 pre_ms = wait_quiet(quiet_ms)
-            log(f"{name}: attempt {attempt}/{MAX_ATTEMPTS}")
+            log(f"{name}: attempt {attempt}/{attempts_cap}")
             if fn(pre_ms):
                 break
             time.sleep(PROBE_PERIOD_S)
         else:
-            log(f"{name}: gave up after {MAX_ATTEMPTS} attempts")
-            return 1
+            log(f"{name}: gave up after {attempts_cap} attempts — "
+                f"continuing to remaining stages")
+            failed.append(name)
+    if failed:
+        log(f"stages NOT recorded: {failed}")
+        return 1
     log("all stages recorded")
     return 0
 
