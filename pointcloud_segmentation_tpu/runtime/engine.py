@@ -1151,6 +1151,48 @@ class SegmentationEngine:
             return
         self._journal_reset_now()
 
+    def _bound_unread_batches(self) -> None:
+        """Backpressure under sustained overfeed, run after EVERY flush
+        (both the >= stream_sync_every path and the idle-age path): the
+        old synchronous flush bounded dispatch-ahead as a side effect;
+        with the async flusher an overfed stream would otherwise grow the
+        device queue (and worst-case memory/latency) without limit.  Cap
+        unread batches: pause dispatch — explicitly signaling an idle
+        window so the flusher's gated read can proceed — until the
+        flusher catches up.  The stall is device-drain time the saturated
+        stream had to pay anyway; the mailbox keeps latest-wins dropping
+        meanwhile, exactly like the reference under load."""
+        while (self._running and self._flush_q.qsize()
+                >= self._STREAM_MAX_UNREAD_BATCHES):
+            # A WEDGED head read (not mere overfeed) must not stall the
+            # stream: keep dispatching — measured safe concurrent with
+            # the in-flight read.  Past the wedge cap, shed the oldest
+            # unread batch (its frames keep -1 telemetry sentinels; the
+            # map already advanced on device) rather than park the whole
+            # map build behind a relay outage measured at up to 17.2 min.
+            if self._flusher_read_wedged():
+                if (self._flush_q.qsize()
+                        < self._STREAM_WEDGE_MAX_BATCHES):
+                    break
+                try:
+                    shed = self._flush_q.get_nowait()
+                except queue.Empty:
+                    continue
+                if shed is None:     # stop() poison raced in:
+                    self._flush_q.task_done()
+                    self._flush_q.put(None)   # hand it back
+                    break
+                self._flush_q.task_done()
+                self.flush_batches_shed += 1
+                logger.warning(
+                    "relay read wedged: shed one readback batch "
+                    "(%d frames keep -1 telemetry sentinels; "
+                    "%d batches shed total)",
+                    len(shed[0]), self.flush_batches_shed)
+                break
+            self._worker_idle.set()
+            time.sleep(0.005)
+
     def _flusher_read_wedged(self) -> bool:
         """True while the flusher's current device->host read has been in
         flight longer than _STREAM_READ_WEDGE_S (single-writer timestamp:
@@ -1205,6 +1247,16 @@ class SegmentationEngine:
                         self._flush_pending()
                     except Exception:
                         logger.exception("pending flush failed")
+                    # The idle-age path used to bypass the unread-batch
+                    # cap: a 30 Hz feed at near-saturation service (storm
+                    # weather) takes nearly every flush through THIS path
+                    # (pending rarely reaches stream_sync_every before a
+                    # >_STREAM_FLUSH_AGE_S idle gap), so a 17.2-min relay
+                    # park accumulated ~480 unread batches with
+                    # flush_batches_shed == 0, and the eventual pre-reset
+                    # drain stalled the worker 59 s (endurance forensics,
+                    # 2026-08-20).  Every flush site must bound the queue.
+                    self._bound_unread_batches()
                 self._maybe_journal_reset()
                 continue
             self._worker_idle.clear()
@@ -1228,49 +1280,7 @@ class SegmentationEngine:
                 except Exception:
                     logger.exception("pending flush failed; records keep "
                                      "their -1 sentinels for this batch")
-                # Backpressure under sustained overfeed: the old
-                # synchronous flush bounded dispatch-ahead as a
-                # side effect; with the async flusher an overfed
-                # stream would otherwise grow the device queue
-                # (and worst-case memory/latency) without limit.
-                # Cap unread batches: pause dispatch — explicitly
-                # signaling an idle window so the flusher's gated
-                # read can proceed — until the flusher catches up.
-                # The stall is device-drain time the saturated
-                # stream had to pay anyway; the mailbox keeps
-                # latest-wins dropping meanwhile, exactly like
-                # the reference under load.
-                while (self._running and self._flush_q.qsize()
-                        >= self._STREAM_MAX_UNREAD_BATCHES):
-                    # A WEDGED head read (not mere overfeed) must not
-                    # stall the stream: keep dispatching — measured safe
-                    # concurrent with the in-flight read.  Past the wedge
-                    # cap, shed the oldest unread batch (its frames keep
-                    # -1 telemetry sentinels; the map already advanced on
-                    # device) rather than park the whole map build behind
-                    # a relay outage measured at up to 251 s.
-                    if self._flusher_read_wedged():
-                        if (self._flush_q.qsize()
-                                < self._STREAM_WEDGE_MAX_BATCHES):
-                            break
-                        try:
-                            shed = self._flush_q.get_nowait()
-                        except queue.Empty:
-                            continue
-                        if shed is None:     # stop() poison raced in:
-                            self._flush_q.task_done()
-                            self._flush_q.put(None)   # hand it back
-                            break
-                        self._flush_q.task_done()
-                        self.flush_batches_shed += 1
-                        logger.warning(
-                            "relay read wedged: shed one readback batch "
-                            "(%d frames keep -1 telemetry sentinels; "
-                            "%d batches shed total)",
-                            len(shed[0]), self.flush_batches_shed)
-                        break
-                    self._worker_idle.set()
-                    time.sleep(0.005)
+                self._bound_unread_batches()
             self._maybe_journal_reset()
         if deferred and self._pending:
             try:

@@ -159,3 +159,70 @@ def test_all_tail_wedged_insufficient_signal():
     windows.append(w(rate_ps=3.0))
     v = judge(windows)
     assert not v["degraded"], v
+
+
+def test_long_park_sawtooth_with_flat_recovery_not_a_leak():
+    """The 2026-08-20 forced-storm run's shape: a single flusher read
+    parked 17.2 min defers the journal-reset cadence by design (engine
+    wedge rule), so RSS legitimately ramps ~52 MB/window for the whole
+    park and the peak sticks as glibc high-water after the deferred
+    reset finally reclaims (483 -> 3500 -> flat 2835 MB).  The halves
+    heuristic misreads that bounded, weather-coupled sawtooth as a
+    monotonic leak; the park-aware rule judges the flat recovery region
+    after the last visible park instead."""
+    windows = [w(rss=480 + i) for i in range(5)]
+    windows += [w(rss=500 + i * 52) for i in range(30)]      # park ramp
+    parked = w(rss=2900)
+    parked["max_flush_read_ms"] = 1031653.0    # the park, seen on completion
+    windows.append(parked)
+    windows += [w(rss=2835 + (i % 3) * 4) for i in range(15)]  # recovery
+    windows.append(w(rate_ps=4.0, fed=30, rss=2835))   # partial tail
+    v = judge(windows)
+    assert v["long_park_windows"] == 1, v
+    assert v["rss_recovery_windows"] == 15, v
+    assert not v["leaked"], v
+
+
+def test_long_park_with_rising_recovery_still_flags():
+    # a REAL leak under park weather: the floor keeps climbing after
+    # the park too — the recovery-region comparison must still catch it
+    windows = [w(rss=480) for _ in range(5)]
+    windows += [w(rss=500 + i * 52) for i in range(10)]
+    parked = w(rss=1100)
+    parked["max_flush_read_ms"] = 300000.0
+    windows.append(parked)
+    windows += [w(rss=1100 + i * 80) for i in range(12)]
+    v = judge(windows)
+    assert v["leaked"], v
+
+
+def test_long_park_without_recovery_keeps_halves_verdict():
+    # the park ends too close to the feed's end to leave 6 recovery
+    # windows: no recovery demonstrated, the halves verdict (leaked)
+    # stands and the recorder rejects -> rerun
+    windows = [w(rss=480) for _ in range(5)]
+    windows += [w(rss=500 + i * 52) for i in range(30)]
+    parked = w(rss=2100)
+    parked["max_flush_read_ms"] = 200000.0
+    windows.append(parked)
+    windows += [w(rss=2100) for _ in range(3)]
+    v = judge(windows)
+    assert v["leaked"], v
+
+
+def test_real_storm_run_fixture_judged_healthy():
+    """The actual 2026-08-20 run (committed fixture): 30 min at 30 Hz
+    through a 26 ms/frame chip storm, one 17.2-min park + one 103-s
+    park, perfect 30.0/s median.  With the park-aware floor the verdict
+    is healthy: throughput never degraded and the post-recovery RSS
+    floor is flat."""
+    import json
+    fx = os.path.join(os.path.dirname(__file__), "fixtures",
+                      "endurance_r05_storm_windows.json")
+    d = json.load(open(fx))
+    v = END.judge_windows(d["windows_detail"], d["journal_reset_cadence"],
+                          RATE, WINDOW_S)
+    assert v["long_park_windows"] == 2, v
+    assert not v["degraded"], v
+    assert not v["leaked"], v
+    assert v["median_processed_per_sec"] > 29.5, v

@@ -455,6 +455,59 @@ def test_stream_rides_through_wedged_flusher_read(replay_frames):
                for r in eng.records)
 
 
+def test_idle_age_flush_also_sheds_past_wedge_cap(replay_frames):
+    """Regression (endurance forensics 2026-08-20): the idle-age flush
+    path bypassed the unread-batch cap — at 30 Hz under near-saturation
+    service nearly every flush goes through it (pending rarely reaches
+    stream_sync_every before a >_STREAM_FLUSH_AGE_S idle gap), so a
+    17.2-min relay park accumulated ~480 unread batches with zero sheds
+    and the eventual pre-reset drain stalled the worker 59 s.  Every
+    flush site must run _bound_unread_batches: with the head read wedged
+    and the cap at 1, idle-age flushes alone must shed."""
+    eng = SegmentationEngine(CFG, backend="jax", stream_sync_every=1000)
+    assert eng._stream_deferred
+    eng._STREAM_READ_WEDGE_S = 0.05
+    eng._STREAM_WEDGE_MAX_BATCHES = 1
+    eng._STREAM_FLUSH_AGE_S = 0.01       # idle gap flushes near-immediately
+    orig = eng._backfill_batch
+    wedge = {"armed": True}
+    release = threading.Event()
+
+    def wedged(batch, stacked):
+        if wedge["armed"]:
+            wedge["armed"] = False
+            eng._read_started_mono = time.monotonic()
+            try:
+                release.wait(timeout=30.0)
+            finally:
+                eng._read_started_mono = None
+        return orig(batch, stacked)
+
+    eng._backfill_batch = wedged
+    eng.start()
+    try:
+        # paced submissions: each frame is followed by an idle window, so
+        # every flush is an idle-age flush (pending never nears 1000)
+        for fr in replay_frames:
+            _submit_and_wait(eng, fr, deadline_s=20.0)
+            time.sleep(0.15)
+        assert eng.frames_processed == len(replay_frames)
+        assert not wedge["armed"]            # the wedge really engaged
+        deadline = time.time() + 10.0
+        while eng.flush_batches_shed < 1 and time.time() < deadline:
+            time.sleep(0.01)
+        assert eng.flush_batches_shed >= 1
+    finally:
+        release.set()
+        eng.stop()
+    # shed batches keep sentinels; the map still matches a sync replay
+    assert any(r["seg_vec_size"] == -1 for r in eng.records)
+    eng_s = SegmentationEngine(CFG, backend="jax")
+    eng_s.run_replay(replay_frames)
+    segs_d, segs_s = eng.world_segments(), eng_s.world_segments()
+    assert len(segs_d) == len(segs_s)
+
+
 def test_stream_sheds_telemetry_past_wedge_cap(replay_frames):
     """A wedge outlasting _STREAM_WEDGE_MAX_BATCHES must shed the oldest
     unread readback batch (telemetry loss: those records keep their -1

@@ -53,6 +53,14 @@ import time
 # the gate can't silently diverge.
 WEDGE_READ_MS = 3000.0
 
+# A completed flusher read longer than this marks a LONG park: the
+# journal-reset cadence was necessarily deferred for its whole flight
+# (engine wedge rule), so the RSS floor comparison must judge the
+# recovery region after it (see judge_windows).  Well above the ~1.5 s
+# busy-queue read and the 3 s wedge threshold; well below the 10-357 s
+# post-reset parks it exists to classify.
+LONG_PARK_MS = 60_000.0
+
 
 def rss_mb() -> float:
     with open("/proc/self/status") as f:
@@ -125,6 +133,29 @@ def judge_windows(windows, cadence, rate, window_s=30.0):
     rss_min_last = min(c["rss_mb"] for c in steady[halves:]) \
         if steady[halves:] else rss_min_first
     leaked = len(steady) >= 6 and rss_min_last > 1.25 * rss_min_first
+    # A LONG relay park (a single flusher read in flight for minutes —
+    # 17.2 min observed 2026-08-20) defers the journal-reset cadence by
+    # design for its whole duration, so the journal legitimately ramps
+    # ~55 KB/frame the entire park and the peak sticks as glibc
+    # high-water after recovery: a bounded, weather-coupled sawtooth the
+    # halves heuristic misreads as a monotonic leak (measured: RSS
+    # 483 MB -> 3.5 GB across the park, then FLAT at 2835 MB for 15
+    # windows once the deferred reset finally ran).  When such a park is
+    # visible in the windows (a completed read > LONG_PARK_MS — the park
+    # is retroactive: mid-flight windows report max_flush_read_ms 0.0),
+    # judge the floor on the RECOVERY region after the last park
+    # instead: a real leak keeps raising the floor there too.  If the
+    # park left < 6 recovery windows, the halves verdict stands (the run
+    # demonstrated no recovery — reject it, rerun).
+    long_parks = [i for i, c in enumerate(full)
+                  if c.get("max_flush_read_ms", 0.0) > LONG_PARK_MS]
+    recovery = full[long_parks[-1] + 1:] if long_parks else []
+    rss_min_rec_first = rss_min_rec_last = None
+    if len(recovery) >= 6:
+        h = len(recovery) // 2
+        rss_min_rec_first = min(c["rss_mb"] for c in recovery[:h])
+        rss_min_rec_last = min(c["rss_mb"] for c in recovery[h:])
+        leaked = rss_min_rec_last > 1.25 * rss_min_rec_first
     return {
         "median_processed_per_sec": median,
         "min_processed_per_sec": rates_seen[0] if rates_seen else 0.0,
@@ -135,6 +166,10 @@ def judge_windows(windows, cadence, rate, window_s=30.0):
         "rss_mb_min_first_half": rss_min_first,
         "rss_mb_min_last_half": rss_min_last,
         "rss_judgment_start_window": start,
+        "long_park_windows": len(long_parks),
+        "rss_recovery_windows": len(recovery) if long_parks else 0,
+        "rss_mb_min_recovery_first": rss_min_rec_first,
+        "rss_mb_min_recovery_last": rss_min_rec_last,
         "journal_reset_cadence": cadence,
         "outage_windows": sum(
             1 for c in full if c["processed_per_sec"] < 0.5 * median),
@@ -216,6 +251,10 @@ def main() -> int:
             "world_segments": None,
             "max_step_ms": stall["step_ms"],
             "max_flush_read_ms": stall["flush_read_ms"],
+            # cumulative counters per window: reset/shed forensics line a
+            # throughput hole or an RSS ramp up with its cause post-hoc
+            "journal_resets_cum": eng.journal_resets,
+            "flush_batches_shed_cum": eng.flush_batches_shed,
         })
         last_proc, last_drop, last_t = proc, drop, now
         c = windows[-1]
