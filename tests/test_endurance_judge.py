@@ -161,68 +161,90 @@ def test_all_tail_wedged_insufficient_signal():
     assert not v["degraded"], v
 
 
-def test_long_park_sawtooth_with_flat_recovery_not_a_leak():
-    """The 2026-08-20 forced-storm run's shape: a single flusher read
-    parked 17.2 min defers the journal-reset cadence by design (engine
-    wedge rule), so RSS legitimately ramps ~52 MB/window for the whole
-    park and the peak sticks as glibc high-water after the deferred
-    reset finally reclaims (483 -> 3500 -> flat 2835 MB).  The halves
-    heuristic misreads that bounded, weather-coupled sawtooth as a
-    monotonic leak; the park-aware rule judges the flat recovery region
-    after the last visible park instead."""
-    windows = [w(rss=480 + i) for i in range(5)]
-    windows += [w(rss=500 + i * 52) for i in range(30)]      # park ramp
-    parked = w(rss=2900)
-    parked["max_flush_read_ms"] = 1031653.0    # the park, seen on completion
+def wc(rate_ps=30.0, fed=900, rss=550.0, resets=0):
+    c = w(rate_ps=rate_ps, fed=fed, rss=rss)
+    c["processed_in_window"] = int(rate_ps * 30)
+    c["journal_resets_cum"] = resets
+    return c
+
+
+def test_deferral_ramp_excused_when_honored_segments_flat():
+    """A relay park defers the journal-reset cadence by design, so RSS
+    legitimately ramps ~52 MB/window for the whole park and the peak
+    sticks as glibc high-water (measured 2026-08-20/21: 483 MB ->
+    3.5 GB -> flat 2835; a second 690-s park added only ~120 MB — arena
+    reuse — and the next reset dropped RSS to 1563).  The verdict
+    judges the floor only where the cadence was HONORED: flat honored
+    segments before and after the ramp -> not a leak, even though the
+    plain halves comparison sees 485 vs 2285."""
+    # healthy cadence: a reset tick every ~5 windows keeps 'since' small
+    windows = [wc(rss=485 + i, resets=1 + i // 5) for i in range(10)]
+    # park: resets stall at 2, floor ramps for 20 windows
+    windows += [wc(rss=500 + i * 52, resets=2) for i in range(20)]
+    parked = wc(rss=1600, resets=2)
+    parked["max_flush_read_ms"] = 650441.0     # seen on completion
     windows.append(parked)
-    windows += [w(rss=2835 + (i % 3) * 4) for i in range(15)]  # recovery
-    windows.append(w(rate_ps=4.0, fed=30, rss=2835))   # partial tail
+    # recovery: resets resume, floor flat at the new high-water
+    windows += [wc(rss=2285 + (i % 3), resets=3 + i // 5)
+                for i in range(10)]
+    windows.append(wc(rate_ps=4.0, fed=30, rss=2285, resets=5))
     v = judge(windows)
     assert v["long_park_windows"] == 1, v
-    assert v["rss_recovery_windows"] == 15, v
+    assert len(v["rss_cadence_honored_segments"]) >= 2, v
     assert not v["leaked"], v
 
 
-def test_long_park_with_rising_recovery_still_flags():
-    # a REAL leak under park weather: the floor keeps climbing after
-    # the park too — the recovery-region comparison must still catch it
-    windows = [w(rss=480) for _ in range(5)]
-    windows += [w(rss=500 + i * 52) for i in range(10)]
-    parked = w(rss=1100)
-    parked["max_flush_read_ms"] = 300000.0
-    windows.append(parked)
-    windows += [w(rss=1100 + i * 80) for i in range(12)]
+def test_real_leak_rises_inside_honored_segments_too():
+    # a REAL engine leak climbs everywhere, including while the reset
+    # cadence is being honored — the per-segment floor check catches it
+    windows = [wc(rss=480 + i * 60, resets=1 + i // 5) for i in range(20)]
     v = judge(windows)
     assert v["leaked"], v
 
 
-def test_long_park_without_recovery_keeps_halves_verdict():
-    # the park ends too close to the feed's end to leave 6 recovery
-    # windows: no recovery demonstrated, the halves verdict (leaked)
-    # stands and the recorder rejects -> rerun
-    windows = [w(rss=480) for _ in range(5)]
-    windows += [w(rss=500 + i * 52) for i in range(30)]
-    parked = w(rss=2100)
-    parked["max_flush_read_ms"] = 200000.0
-    windows.append(parked)
-    windows += [w(rss=2100) for _ in range(3)]
+def test_never_honored_cadence_keeps_strict_verdict():
+    # resets never tick (broken reset machinery or a run-length park):
+    # no honored segment exists, so the strict halves verdict stands
+    # and a rising floor is flagged -> reject, rerun
+    windows = [wc(rss=500 + i * 52, resets=1) for i in range(25)]
     v = judge(windows)
+    assert v["rss_cadence_honored_segments"] == [], v
     assert v["leaked"], v
 
 
-def test_real_storm_run_fixture_judged_healthy():
-    """The actual 2026-08-20 run (committed fixture): 30 min at 30 Hz
-    through a 26 ms/frame chip storm, one 17.2-min park + one 103-s
-    park, perfect 30.0/s median.  With the park-aware floor the verdict
-    is healthy: throughput never degraded and the post-recovery RSS
-    floor is flat."""
+def test_pre_instrumentation_summary_keeps_strict_verdict():
+    """The 2026-08-20 run predates the per-window journal_resets_cum
+    field (committed fixture): without it the deferral ramp cannot be
+    attributed, so the strict halves verdict stands (leaked -> the
+    recorder rejects and reruns on the instrumented engine).  Its
+    throughput judgment is unaffected: a perfect 30.0/s median through
+    a 17.2-min park."""
     import json
     fx = os.path.join(os.path.dirname(__file__), "fixtures",
                       "endurance_r05_storm_windows.json")
     d = json.load(open(fx))
     v = END.judge_windows(d["windows_detail"], d["journal_reset_cadence"],
                           RATE, WINDOW_S)
-    assert v["long_park_windows"] == 2, v
+    assert not v["degraded"], v
+    assert v["median_processed_per_sec"] > 29.5, v
+    assert v["leaked"], v          # honest: cannot excuse what it can't see
+
+
+def test_real_storm_run2_fixture_judged_healthy():
+    """The actual 2026-08-21 run (committed fixture, post idle-path-cap
+    fix): 30 min at 30 Hz through a ~27 ms/frame chip storm with 650-s
+    and 690-s relay parks.  4 journal resets, 2648 batches shed, median
+    29.97/s; the cadence-honored segments' floors are flat (485->492,
+    2284->2289) while every ramp sits in wedge-deferred windows.
+    Verdict: healthy."""
+    import json
+    fx = os.path.join(os.path.dirname(__file__), "fixtures",
+                      "endurance_r05_storm2_windows.json")
+    d = json.load(open(fx))
+    v = END.judge_windows(d["windows_detail"], d["journal_reset_cadence"],
+                          RATE, WINDOW_S)
+    assert v["long_park_windows"] == 4, v
     assert not v["degraded"], v
     assert not v["leaked"], v
     assert v["median_processed_per_sec"] > 29.5, v
+    assert len(v["rss_cadence_honored_segments"]) >= 1, v
