@@ -1208,9 +1208,18 @@ class SegmentationEngine:
         monitors (tools/endurance.py): a throughput hole in a window with
         a huge step_ms is a wedged dispatch; a huge flush_read_ms is a
         wedged device->host read; neither large points at the feed/host
-        side.  Racy by design — a lost update only shrinks a max."""
+        side.  A read still IN FLIGHT reports its current age (before
+        this, a multi-minute park was invisible until its completion
+        window — a 25-min park left 26 windows stamped 0.0, defeating
+        both the degradation tail's wedge filter and the recorder's
+        wedge-domination gate).  Racy by design — a lost update only
+        shrinks a max."""
+        read_ms = self._stall_read_ms
+        s = self._read_started_mono
+        if s is not None:
+            read_ms = max(read_ms, (time.monotonic() - s) * 1e3)
         out = {"step_ms": round(self._stall_step_ms, 1),
-               "flush_read_ms": round(self._stall_read_ms, 1)}
+               "flush_read_ms": round(read_ms, 1)}
         self._stall_step_ms = 0.0
         self._stall_read_ms = 0.0
         return out

@@ -248,3 +248,49 @@ def test_real_storm_run2_fixture_judged_healthy():
     assert not v["leaked"], v
     assert v["median_processed_per_sec"] > 29.5, v
     assert len(v["rss_cadence_honored_segments"]) >= 1, v
+
+
+def test_truncated_mid_park_run_not_excused():
+    """Review counterexample (2026-08-21): the storm2 fixture truncated
+    at window 30 ends INSIDE the 650-s park — resets frozen, RSS ramping
+    monotonically to the end, no recovery demonstrated.  That is also
+    exactly what a resets-stopped-firing regression looks like, so the
+    excuse must not apply: strict verdict -> leaked."""
+    import json
+    fx = os.path.join(os.path.dirname(__file__), "fixtures",
+                      "endurance_r05_storm2_windows.json")
+    d = json.load(open(fx))
+    v = END.judge_windows(d["windows_detail"][:30],
+                          d["journal_reset_cadence"], RATE, WINDOW_S)
+    assert v["leaked"], v
+
+
+def test_resets_stop_after_early_tick_not_excused():
+    # one early reset tick, then resets stop and the floor ramps to the
+    # end: no defer->recover cycle was demonstrated, so the trailing
+    # ramp is judged strictly -> leaked
+    windows = [wc(rss=400, resets=1) for _ in range(3)]
+    windows += [wc(rss=400, resets=2) for _ in range(3)]     # early tick
+    windows += [wc(rss=450 + i * 40, resets=2) for i in range(15)]
+    v = judge(windows)
+    assert v["leaked"], v
+
+
+def test_committed_endurance_artifact_passes_current_judge():
+    """ENDURANCE_r05.json (the committed artifact) must stay healthy
+    under the judge as it evolves: its run demonstrated a full
+    defer->recover cycle (ramp w11-17 -> reset tick w18 -> flat floor
+    1146-1149), so the trailing deferred ramp is excused and every
+    cadence-honored segment is flat."""
+    import json
+    fx = os.path.join(os.path.dirname(__file__), "..",
+                      "ENDURANCE_r05.json")
+    s = json.load(open(fx))
+    v = END.judge_windows(s["windows_detail"], s["journal_reset_cadence"],
+                          s["rate_hz"], WINDOW_S)
+    assert not v["degraded"], v
+    assert not v["leaked"], v
+    assert v["median_processed_per_sec"] >= 29.9, v
+    assert len(v["rss_cadence_honored_segments"]) >= 1, v
+    assert all(not seg["rises"]
+               for seg in v["rss_cadence_honored_segments"]), v

@@ -455,6 +455,23 @@ def test_stream_rides_through_wedged_flusher_read(replay_frames):
                for r in eng.records)
 
 
+def test_pop_stall_max_reports_in_flight_read_age():
+    """A read still in flight at sampling time must report its current
+    age: before this, a multi-minute park was invisible until its
+    completion window (a 25-min park left 26 endurance windows stamped
+    max_flush_read_ms=0.0), defeating the soak's wedge classification
+    and the recorder's wedge-domination gate."""
+    eng = SegmentationEngine(CFG, backend="jax", stream_sync_every=2)
+    eng._read_started_mono = time.monotonic() - 5.0
+    out = eng.pop_stall_max()
+    assert out["flush_read_ms"] >= 4900.0, out
+    eng._read_started_mono = None
+    # completed-read max still reported and reset as before
+    eng._stall_read_ms = 123.0
+    assert eng.pop_stall_max()["flush_read_ms"] == 123.0
+    assert eng.pop_stall_max()["flush_read_ms"] == 0.0
+
+
 def test_idle_age_flush_also_sheds_past_wedge_cap(replay_frames):
     """Regression (endurance forensics 2026-08-20): the idle-age flush
     path bypassed the unread-batch cap — at 30 Hz under near-saturation

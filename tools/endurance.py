@@ -53,13 +53,27 @@ import time
 # the gate can't silently diverge.
 WEDGE_READ_MS = 3000.0
 
-# A completed flusher read longer than this marks a LONG park: the
-# journal-reset cadence was necessarily deferred for its whole flight
-# (engine wedge rule), so the RSS floor comparison must judge the
-# recovery region after it (see judge_windows).  Well above the ~1.5 s
-# busy-queue read and the 3 s wedge threshold; well below the 10-357 s
-# post-reset parks it exists to classify.
+# A flusher read (completed, or in flight at window close — the engine's
+# pop_stall_max reports both) longer than this marks a LONG-park window.
+# Informational: the summary counts such windows so an artifact states
+# how much of its run was spent inside multi-minute relay parks; the
+# leak verdict itself keys off the reset cadence (journal_resets_cum),
+# not off this threshold.  Set above the ~1.5 s busy-queue read, the 3 s
+# wedge threshold, and the short end of the 10-357 s post-reset park
+# range, so only the multi-minute parks that meaningfully defer the
+# cadence are counted.
 LONG_PARK_MS = 60_000.0
+
+
+def _floor_halves(seg):
+    """(min RSS of first half, min RSS of last half, rises?) for a
+    window segment — THE floor comparison, used by the strict verdict,
+    the per-segment honored check, and the summary annotation alike so
+    the three can't silently diverge."""
+    h = max(len(seg) // 2, 1)
+    lo_first = min(c["rss_mb"] for c in seg[:h]) if seg else 0.0
+    lo_last = min(c["rss_mb"] for c in seg[h:]) if seg[h:] else lo_first
+    return lo_first, lo_last, lo_last > 1.25 * lo_first
 
 
 def rss_mb() -> float:
@@ -127,12 +141,8 @@ def judge_windows(windows, cadence, rate, window_s=30.0):
         else:
             start = 0       # run shorter than one cadence: judge it all
     steady = full[start:] if full[start:] else full
-    halves = max(len(steady) // 2, 1)
-    rss_min_first = min(c["rss_mb"] for c in steady[:halves]) \
-        if steady else 0.0
-    rss_min_last = min(c["rss_mb"] for c in steady[halves:]) \
-        if steady[halves:] else rss_min_first
-    leaked = len(steady) >= 6 and rss_min_last > 1.25 * rss_min_first
+    rss_min_first, rss_min_last, strict_rises = _floor_halves(steady)
+    leaked = len(steady) >= 6 and strict_rises
     # Long relay parks (single flusher reads in flight for minutes —
     # 11-17 min observed 2026-08-20) defer the journal-reset cadence by
     # design for their whole duration, so the journal legitimately ramps
@@ -154,26 +164,38 @@ def judge_windows(windows, cadence, rate, window_s=30.0):
     # any >= 6-window segment's minima floor rises across its halves —
     # a real engine leak rises there too, while deferral ramps and the
     # cross-park high-water steps fall in the excused overdue windows.
+    # Excusing overdue windows requires the run to have DEMONSTRATED the
+    # recovery it is being excused for: at least one reset tick must
+    # have landed after an overdue stretch (a completed defer->recover
+    # cycle).  Without that, a trailing unrecovered ramp — which is also
+    # exactly what a resets-stopped-firing regression looks like — would
+    # be excused into a healthy committed artifact (review finding,
+    # 2026-08-21: the storm2 fixture truncated mid-park judged clean).
     # Runs without the journal_resets_cum field (pre-instrumentation),
-    # with cadence 0, or with no cadence-honored segment long enough to
-    # judge keep the strict halves verdict above: a run that never
-    # demonstrated an honored cadence is rejected, not excused.
+    # with cadence 0, with no cadence-honored segment long enough to
+    # judge, or with no demonstrated cycle keep the strict halves
+    # verdict above: a run that never demonstrated an honored cadence
+    # (or a recovery) is rejected, not excused.
     long_parks = [i for i, c in enumerate(full)
                   if c.get("max_flush_read_ms", 0.0) > LONG_PARK_MS]
     honored_segments = []
     if cadence and any(c.get("journal_resets_cum") is not None
                        for c in full):
         since, prev_cum = 0.0, None
-        flags = []
+        flags, seen_overdue, cycle_demonstrated = [], False, False
         for c in full:
             cum = c.get("journal_resets_cum")
             if (prev_cum is not None and cum is not None
                     and cum > prev_cum):
+                if seen_overdue:
+                    cycle_demonstrated = True
                 since = 0.0
             if cum is not None:
                 prev_cum = cum
             since += c.get("processed_in_window", c["fed_in_window"])
-            flags.append(since <= cadence * 1.5)
+            overdue = since > cadence * 1.5
+            seen_overdue = seen_overdue or overdue
+            flags.append(not overdue)
         cur = []
         for i in range(start, len(full)):
             if flags[i]:
@@ -184,12 +206,8 @@ def judge_windows(windows, cadence, rate, window_s=30.0):
         if cur:
             honored_segments.append(cur)
         honored_segments = [s for s in honored_segments if len(s) >= 6]
-        if honored_segments:
-            def _rises(seg):
-                h = len(seg) // 2
-                return (min(c["rss_mb"] for c in seg[h:])
-                        > 1.25 * min(c["rss_mb"] for c in seg[:h]))
-            leaked = any(_rises(s) for s in honored_segments)
+        if honored_segments and (cycle_demonstrated or not seen_overdue):
+            leaked = any(_floor_halves(s)[2] for s in honored_segments)
     return {
         "median_processed_per_sec": median,
         "min_processed_per_sec": rates_seen[0] if rates_seen else 0.0,
@@ -202,11 +220,8 @@ def judge_windows(windows, cadence, rate, window_s=30.0):
         "rss_judgment_start_window": start,
         "long_park_windows": len(long_parks),
         "rss_cadence_honored_segments": [
-            {"windows": len(s),
-             "rss_mb_min_first_half": min(
-                 c["rss_mb"] for c in s[:len(s) // 2]),
-             "rss_mb_min_last_half": min(
-                 c["rss_mb"] for c in s[len(s) // 2:])}
+            dict(zip(("rss_mb_min_first_half", "rss_mb_min_last_half",
+                      "rises"), _floor_halves(s)), windows=len(s))
             for s in honored_segments],
         "journal_reset_cadence": cadence,
         "outage_windows": sum(
